@@ -1,0 +1,327 @@
+"""Per-sample transform: captions + variable-length features -> fixed shapes.
+
+Pure-numpy host-side pipeline (no torch): reproduces the reference's
+per-sample logic (base/base_dataset.py:572-896) — caption selection /
+query-shuffling modes, sentence-window cropping by timestamp, temporal
+encoding offsets, random (train) vs seeded-deterministic (eval) feature
+subsampling, avg/max pooling, missing-expert zero fill + indicator masks,
+tokenization + crop/pad — emitting exactly the batch schema of
+base/base_dataset.py:876-896.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from mmt_tpu.data import stop_words
+
+
+def crop_or_pad_tokens(token_ids: Sequence[int], max_text_words: int):
+  """(ids, valid) pairs in a (max_text_words, 2) array
+  (base/base_dataset.py:63-68)."""
+  out = np.zeros((max_text_words, 2))
+  keep = min(len(token_ids), max_text_words)
+  out[:keep, 0] = token_ids[:keep]
+  out[:keep, 1] = 1
+  return out
+
+
+def choose_or_pad_features(features, features_t, max_tokens, training,
+                           shuffle=False, seed=0, rng=None):
+  """Fixed-length subsample of a variable-length feature sequence.
+
+  base/base_dataset.py:71-115 semantics: train picks with the live RNG,
+  eval picks with RandomState(0) (bit-deterministic across epochs); picks
+  are sorted to preserve temporal order; padding rows get t=1, ind=0.
+  """
+  feature_dim = features.shape[-1]
+  out = np.zeros((max_tokens, feature_dim))
+  out_t = np.ones((max_tokens,))
+  out_ind = np.zeros((max_tokens,))
+  keep = min(len(features), max_tokens)
+  if training:
+    picker = rng if rng is not None else np.random
+    pick = picker.choice(len(features), size=keep, replace=False)
+  else:
+    pick = np.random.RandomState(0).choice(len(features), size=keep,
+                                           replace=False)
+  pick = np.sort(pick)
+  out[:keep] = features[pick]
+  if shuffle and training:
+    shuffled = features_t[pick].copy()
+    np.random.RandomState(seed).shuffle(shuffled)
+    out_t[:keep] = shuffled
+  else:
+    out_t[:keep] = features_t[pick]
+  out_ind[:keep] = 1
+  return out, out_t, out_ind
+
+
+def _clean_word(word: str) -> str:
+  for ch in (".", ",", "?", "!"):
+    word = word.replace(ch, "")
+  return word.lower()
+
+
+def _is_stop_word(word: str) -> bool:
+  pure = _clean_word(word)
+  if pure in stop_words.ENGLISH_STOP_WORDS or not pure.isalnum():
+    return True
+  return any(piece in stop_words.ENGLISH_STOP_WORDS
+             for piece in pure.split("'"))
+
+
+def remove_stop_words(cap, cap_t):
+  """base/base_dataset.py:118-130 semantics."""
+  res, res_t = [], []
+  for word, word_t in zip(cap, cap_t):
+    if not _is_stop_word(word):
+      res.append(_clean_word(word))
+      res_t.append(word_t)
+  if not res:
+    res.append(".")
+    res_t.append(np.array([0.0, 0.0]))
+  return res, res_t
+
+
+def tokenize_caption(tokenizer, word_list, max_text_words: int) -> List[int]:
+  """Join words -> sentence -> WordPiece ids with [CLS]/[SEP]
+  (base/base_dataset.py:320-353 semantics: strip, ensure trailing
+  punctuation, capitalize, truncate keeping the [SEP] terminal)."""
+  assert len(word_list) > 0, "empty caption"
+  text = " ".join(str(w) for w in word_list).strip()
+  if text[-1] not in (".", "?", "!"):
+    text += "."
+  text = text.capitalize()
+  tokens = [tokenizer.cls_token] + tokenizer.tokenize(text) + [tokenizer.sep_token]
+  tokens = tokens[:max_text_words]
+  tokens[-1] = tokenizer.sep_token
+  return tokenizer.convert_tokens_to_ids(tokens)
+
+
+@dataclasses.dataclass
+class SampleOptions:
+  """Per-dataset sampling knobs (mix-entry args)."""
+  max_text_words: int = 30
+  max_expert_tokens: int = 8
+  captions_per_video: int = 1
+  query_shuffling: str = "indiv"     # indiv | cat | shuf | shufk<N>
+  temporal_encoding_window: float = 1.0
+  clip_duration: object = float("inf")     # scalar or [min, max]
+  caption_length: object = float("inf")    # scalar or [min, max]
+  n_pairs: int = 1
+  remove_stop_words: bool = False
+  shuffle_feats_t: bool = False
+  # HowTo100M features stop at 500s; drop later words
+  # (base/base_dataset.py:657-659).
+  max_words_start_time: float = 500.0
+
+
+def select_captions(captions, captions_t, opts: SampleOptions, training,
+                    rng) -> List:
+  """Apply the query-shuffling mode (base/base_dataset.py:592-625)."""
+  picked = min(len(captions), opts.captions_per_video)
+  out, out_t = [], []
+  mode = opts.query_shuffling
+  for cap_nb in range(picked):
+    if mode == "indiv":
+      out.append(captions[cap_nb])
+      out_t.append(captions_t[cap_nb])
+      continue
+    if mode == "cat":
+      out.append(np.concatenate(captions))
+      out_t.append(np.concatenate(captions_t))
+      continue
+    if mode == "shuf":
+      order = rng.permutation(len(captions))
+      out.append(np.concatenate([captions[i] for i in order]))
+      out_t.append(np.concatenate([captions_t[i] for i in order]))
+      continue
+    z = re.match(r"shufk(\d*)", mode)
+    if z:
+      nb_keep = min(int(z.groups()[0]), len(captions))
+      order = rng.permutation(len(captions))[:nb_keep]
+      out.append(np.concatenate([captions[i] for i in order]))
+      out_t.append(np.concatenate([captions_t[i] for i in order]))
+      continue
+    raise ValueError(f"unknown query_shuffling {mode!r}")
+  return out, out_t
+
+
+def make_sample(record, tokenizer, experts: Dict[str, int],
+                opts: SampleOptions, training: bool, idx: int,
+                path: str = "", source: str = ""):
+  """One video -> fixed-shape tensors + metadata lists.
+
+  experts: name -> raw dim.  Returns the three-part dict the collate step
+  consumes (text_tensors / vid_tensors / lists).
+  """
+  rng = np.random if training else np.random.RandomState(idx)
+
+  captions = [np.asarray([w.decode("UTF-8") if isinstance(w, bytes) else str(w)
+                          for w in c]) for c in record.captions]
+  captions_t = [np.asarray(t) for t in record.captions_t]
+  sel_caps, sel_caps_t = select_captions(captions, captions_t, opts,
+                                         training, rng)
+
+  # Sentence splitting per caption slot, with the 500 s word cutoff.
+  split_sentences = []
+  for cap_idx in range(opts.captions_per_video):
+    if cap_idx < len(sel_caps):
+      cap = sel_caps[cap_idx]
+      cap_t = np.asarray(sel_caps_t[cap_idx], dtype=np.float64)
+      if cap_t.ndim == 1:
+        cap_t = np.zeros((len(cap), 2))
+      keep = cap_t[:, 0] < opts.max_words_start_time
+      cap = cap[keep][:, None]
+      cap_t = cap_t[keep][:, None]
+      if len(cap) < 1:
+        cap = np.array([["."]])
+        cap_t = np.array([[[0.0, 0.0]]])
+    else:
+      cap = np.array([["0"]])
+      cap_t = np.array([[[0.0, 0.0]]])
+    split_sentences.append((cap, cap_t))
+
+  query_masks = np.zeros((opts.captions_per_video,))
+  query_masks[:len(sel_caps)] = 1
+
+  token_ids_list, query_masks_list = [], []
+  raw_captions_list = []
+  feats = {e: [] for e in experts}
+  feats_t = {e: [] for e in experts}
+  feats_ind = {e: [] for e in experts}
+  feats_avg = {e: [] for e in experts}
+  feats_max = {e: [] for e in experts}
+  paths, sources = [], []
+
+  def _range(v):
+    return (v[0], v[1]) if isinstance(v, (list, tuple)) else (v, v)
+
+  for _ in range(opts.n_pairs):
+    token_ids = []
+    raw_captions_pair = []
+    selected_sentences_t = np.array([[0.0, 0.0]])
+    for cap_idx in range(opts.captions_per_video):
+      lo, hi = _range(opts.caption_length)
+      nb_sentences = float("inf") if lo == float("inf") else rng.randint(
+          int(lo), int(hi) + 1)
+      clo, chi = _range(opts.clip_duration)
+      clip_length = float("inf") if chi == float("inf") else rng.uniform(
+          clo, chi)
+
+      sentences, sentences_t = split_sentences[cap_idx]
+      nb = int(min(nb_sentences, len(sentences)))
+      choice = rng.randint(len(sentences) + 1 - nb)
+      sel = np.concatenate(sentences[choice:choice + nb])
+      sel_t = np.concatenate(sentences_t[choice:choice + nb])
+      if opts.remove_stop_words:
+        sel, sel_t = remove_stop_words(sel, sel_t)
+        sel, sel_t = np.asarray(sel), np.asarray(sel_t)
+      sel = sel[:opts.max_text_words]
+      sel_t = np.asarray(sel_t)[:opts.max_text_words]
+      selected_sentences_t = sel_t
+      raw_captions_pair.append(sel)
+
+      ids = tokenize_caption(tokenizer, sel, opts.max_text_words)
+      token_ids.append(crop_or_pad_tokens(ids, opts.max_text_words))
+
+    token_ids_list.append(np.stack(token_ids, 0))
+    query_masks_list.append(query_masks)
+    raw_captions_list.append(raw_captions_pair)
+
+    if clip_length == float("inf"):
+      feat_start, feat_end = 0.0, float("inf")
+    else:
+      s0 = float(np.min(selected_sentences_t))
+      s1 = float(np.max(selected_sentences_t))
+      c_time = (s0 + s1) / 2.0
+      feat_start = c_time - clip_length / 2.0
+      feat_end = feat_start + clip_length
+
+    for expert, raw_dim in experts.items():
+      f_sel = None
+      if expert in record.features:
+        f = np.asarray(record.features[expert])
+        f_t = np.asarray(record.features_t[expert])
+        if clip_length == float("inf"):
+          f_sel = f
+          # temporal encoding starts at 2 s (base/base_dataset.py:776-781)
+          f_t_sel = (f_t - feat_start) / opts.temporal_encoding_window + 2
+        else:
+          keep = np.logical_and(feat_start <= f_t, f_t <= feat_end)
+          if keep.sum() > 0:
+            f_sel = f[keep]
+            f_t_sel = ((f_t[keep] - feat_start)
+                       / opts.temporal_encoding_window + 2)
+
+      if f_sel is None:
+        feats[expert].append(np.zeros((opts.max_expert_tokens, raw_dim)))
+        feats_t[expert].append(np.ones((opts.max_expert_tokens,)))
+        feats_ind[expert].append(np.zeros((opts.max_expert_tokens,)))
+        avg = np.zeros((1, raw_dim))
+        mx = np.zeros((1, raw_dim))
+      else:
+        avg = np.mean(f_sel, axis=0, keepdims=True)
+        mx = np.max(f_sel, axis=0, keepdims=True)
+        sub, sub_t, sub_ind = choose_or_pad_features(
+            f_sel, f_t_sel, opts.max_expert_tokens, training,
+            shuffle=opts.shuffle_feats_t, seed=idx)
+        feats[expert].append(sub)
+        feats_t[expert].append(sub_t)
+        feats_ind[expert].append(sub_ind)
+      if record.features_avgpool.get(expert) is not None:
+        avg = np.asarray(record.features_avgpool[expert]).reshape(1, -1)
+      if record.features_maxpool.get(expert) is not None:
+        mx = np.asarray(record.features_maxpool[expert]).reshape(1, -1)
+      feats_avg[expert].append(avg)
+      feats_max[expert].append(mx)
+
+    paths.append(path)
+    sources.append(source)
+
+  return {
+      "text_tensors": {
+          "token_ids": np.stack(token_ids_list, 0),
+          "query_masks": np.stack(query_masks_list, 0),
+      },
+      "vid_tensors": {
+          "features": {e: np.stack(feats[e], 0) for e in experts},
+          "features_t": {e: np.stack(feats_t[e], 0) for e in experts},
+          "features_ind": {e: np.stack(feats_ind[e], 0) for e in experts},
+          "features_avgpool": {e: np.concatenate(feats_avg[e], 0)
+                               for e in experts},
+          "features_maxpool": {e: np.concatenate(feats_max[e], 0)
+                               for e in experts},
+      },
+      "lists": {
+          "raw_captions": raw_captions_list,
+          "paths": paths,
+          "sources": sources,
+      },
+  }
+
+
+def collate(samples, experts) -> Dict:
+  """Stack per-sample dicts into one fixed-shape batch
+  (base/base_dataset.py:392-424 schema: int32 text, float32 video)."""
+  text = {}
+  for key in samples[0]["text_tensors"]:
+    text[key] = np.concatenate(
+        [s["text_tensors"][key] for s in samples], 0).astype(np.int32)
+  vid = {}
+  for key in samples[0]["vid_tensors"]:
+    vid[key] = {e: np.concatenate(
+        [s["vid_tensors"][key][e] for s in samples], 0).astype(np.float32)
+        for e in experts}
+  lists = {}
+  for key in samples[0]["lists"]:
+    out = []
+    for s in samples:
+      out.extend(s["lists"][key])
+    lists[key] = out
+  return {**text, **vid, **lists}

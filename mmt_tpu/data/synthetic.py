@@ -1,0 +1,115 @@
+"""Synthetic fixture dataset: a tiny MSRVTT-shaped corpus on disk.
+
+Generates the exact on-disk layout the real pipeline reads (mult_h5
+per-video bundles + split list files + a WordPiece vocab), so tests and
+benchmarks exercise readers -> sample transform -> loader -> model end to
+end without the 100GB+ real features (SURVEY.md §4 test strategy).
+
+The captions are drawn from a small vocabulary with a deterministic
+video-topic structure so that retrieval is *learnable*: each video gets a
+topic word that also appears in its captions, and one expert stream
+carries a topic-correlated signal.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+TOPICS = [
+    "cooking", "guitar", "soccer", "dancing", "surfing", "painting",
+    "driving", "swimming", "running", "singing", "climbing", "skating",
+    "reading", "typing", "boxing", "fishing",
+]
+FILLER = [
+    "a", "man", "woman", "is", "the", "with", "on", "in", "doing", "video",
+    "shows", "person", "young", "group", "of", "people", "outside", "indoor",
+]
+
+
+def write_vocab(path):
+  """A minimal WordPiece vocab covering the synthetic corpus."""
+  tokens = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", ".", ",", "?", "!"]
+  tokens += sorted(set(TOPICS + FILLER))
+  # a few wordpiece continuations to exercise the subword path
+  tokens += ["##ing", "##s", "##er", "cook", "paint", "surf", "swim"]
+  path = pathlib.Path(path)
+  path.parent.mkdir(parents=True, exist_ok=True)
+  with open(path, "w") as f:
+    f.write("\n".join(tokens) + "\n")
+  return path
+
+
+def generate(root, num_videos: int = 32, num_test: int = 8,
+             experts: Optional[Dict[str, int]] = None,
+             captions_per_video: int = 3, max_feats: int = 12,
+             seed: int = 0, dataset: str = "MSRVTT",
+             cut: str = "jsfusion") -> pathlib.Path:
+  """Create the corpus under <root>/<dataset>; returns the data_dir.
+
+  Layout (matching what ExpertDataset expects for mult_h5 cuts):
+    <root>/<dataset>/                      data_dir (list files here)
+    <root>/vid_feat_files/mult_h5/<v0>/<v1>/<v2>/<vid>.h5
+  """
+  import h5py
+
+  experts = experts or {"rgb": 2048, "s3d": 1024}
+  rng = np.random.RandomState(seed)
+  root = pathlib.Path(root)
+  data_dir = root / dataset
+  data_dir.mkdir(parents=True, exist_ok=True)
+  h5_root = root / "vid_feat_files" / "mult_h5"
+
+  vids = [f"video{i:04d}" for i in range(num_videos)]
+  topic_ids = rng.randint(0, len(TOPICS), size=num_videos)
+  topic_dirs = rng.randn(len(TOPICS), 16)
+
+  for vid, topic_id in zip(vids, topic_ids):
+    topic = TOPICS[topic_id]
+    out = h5_root / vid[0] / vid[1] / vid[2] / f"{vid}.h5"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    with h5py.File(out, "w") as f:
+      for i in range(captions_per_video):
+        n_fill = rng.randint(3, 7)
+        words = [FILLER[j] for j in rng.randint(0, len(FILLER), n_fill)]
+        pos = rng.randint(0, n_fill + 1)
+        words.insert(pos, topic)
+        arr = np.array([w.encode() for w in words])
+        f.create_dataset(f"raw_captions.{i}", data=arr)
+        times = np.stack([np.arange(len(words), dtype=np.float64),
+                          np.arange(1, len(words) + 1, dtype=np.float64)], -1)
+        f.create_dataset(f"raw_captions_t.{i}", data=times)
+      for expert, dim in experts.items():
+        n = rng.randint(2, max_feats + 1)
+        feats = rng.randn(n, dim) * 0.1
+        # topic-correlated signal in the first 16 dims
+        feats[:, :16] += topic_dirs[topic_id]
+        f.create_dataset(f"features.{expert}", data=feats)
+        f.create_dataset(f"features_t.{expert}",
+                         data=np.stack([np.arange(n, dtype=np.float64),
+                                        np.arange(1, n + 1,
+                                                  dtype=np.float64)], -1))
+
+  # Split lists (MSRVTT jsfusion-style names).
+  test_vids = vids[:num_test]
+  train_vids = vids[num_test:]
+  if cut == "jsfusion":
+    (data_dir / "train_list_jsfusion.txt").write_text(
+        "\n".join(train_vids) + "\n")
+    (data_dir / "val_list_jsfusion.txt").write_text(
+        "\n".join(test_vids) + "\n")
+    # jsfusion restricts each test video to one caption index.
+    import pickle
+    restrict = {v: int(rng.randint(0, captions_per_video)) for v in test_vids}
+    with open(data_dir / "jsfusion_val_caption_idx.pkl", "wb") as f:
+      pickle.dump(restrict, f)
+  else:
+    (data_dir / "train_list.txt").write_text("\n".join(train_vids) + "\n")
+    (data_dir / "val_list.txt").write_text("\n".join(test_vids) + "\n")
+    (data_dir / "test_list.txt").write_text("\n".join(test_vids) + "\n")
+
+  write_vocab(root / "vocab.txt")
+  return data_dir

@@ -1,0 +1,191 @@
+"""Transformer encoder for both the video and text towers.
+
+Functionally equivalent to the reference's from-scratch BERT
+(/root/reference/model/bert.py:74-414): post-LN residual blocks, erf-GELU,
+additive -10000 attention mask, LayerNorm eps from config, and an
+embedding layer that *adds projected continuous features* to position +
+token-type embeddings (no word lookup) for the video side
+(model/bert.py:87-105), or a word-embedding lookup for the text side.
+
+TPU-native details:
+* one einsum per projection, batched attention via
+  ``mmt_tpu.ops.attention`` (XLA fused path or a Pallas kernel),
+* static shapes everywhere; masks are additive floats computed once,
+* compute dtype is configurable (bf16 matmuls with fp32 accumulation).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mmt_tpu.config import BertParams
+from mmt_tpu.ops import attention as attention_ops
+
+
+def activation(name: str):
+  if name == "gelu":
+    # erf-based GELU, matching model/bert.py:37-53 (not the tanh approx).
+    return lambda x: jax.nn.gelu(x, approximate=False)
+  if name == "relu":
+    return jax.nn.relu
+  if name == "swish":
+    return jax.nn.swish
+  raise ValueError(f"unknown activation {name!r}")
+
+
+class TransformerLayer(nn.Module):
+  """Post-LN encoder block (attention -> add&norm -> FFN -> add&norm)."""
+  cfg: BertParams
+  dtype: jnp.dtype = jnp.float32
+
+  @nn.compact
+  def __call__(self, hidden, attn_bias, *, deterministic: bool):
+    cfg = self.cfg
+    dense = lambda feats, name: nn.Dense(
+        feats, dtype=self.dtype, name=name,
+        kernel_init=nn.initializers.normal(cfg.initializer_range))
+    ln = lambda name: nn.LayerNorm(epsilon=cfg.layer_norm_eps, name=name,
+                                   dtype=jnp.float32)
+
+    # Self-attention.
+    q = dense(cfg.hidden_size, "query")(hidden)
+    k = dense(cfg.hidden_size, "key")(hidden)
+    v = dense(cfg.hidden_size, "value")(hidden)
+    ctx = attention_ops.multi_head_attention(
+        q, k, v,
+        num_heads=cfg.num_attention_heads,
+        attn_bias=attn_bias,
+        dropout_rate=cfg.attention_probs_dropout_prob,
+        deterministic=deterministic,
+        dropout_rng_fn=(None if deterministic else
+                        (lambda: self.make_rng("dropout"))),
+    )
+    attn_out = dense(cfg.hidden_size, "attn_out")(ctx)
+    attn_out = nn.Dropout(cfg.hidden_dropout_prob)(
+        attn_out, deterministic=deterministic)
+    hidden = ln("attn_ln")(attn_out + hidden)
+
+    # Feed-forward.
+    inter = dense(cfg.intermediate_size, "ffn_inter")(hidden)
+    inter = activation(cfg.hidden_act)(inter)
+    ffn_out = dense(cfg.hidden_size, "ffn_out")(inter)
+    ffn_out = nn.Dropout(cfg.hidden_dropout_prob)(
+        ffn_out, deterministic=deterministic)
+    hidden = ln("ffn_ln")(ffn_out + hidden)
+    return hidden
+
+
+class TransformerEncoder(nn.Module):
+  cfg: BertParams
+  dtype: jnp.dtype = jnp.float32
+
+  @nn.compact
+  def __call__(self, hidden, attn_bias, *, deterministic: bool):
+    for i in range(self.cfg.num_hidden_layers):
+      hidden = TransformerLayer(self.cfg, dtype=self.dtype,
+                                name=f"layer_{i}")(
+                                    hidden, attn_bias,
+                                    deterministic=deterministic)
+    return hidden
+
+
+def attention_bias_from_mask(attention_mask, dtype=jnp.float32):
+  """[B, S] {0,1} mask -> [B, 1, 1, S] additive bias with -10000 at pads.
+
+  Same constant as model/bert.py:382-395 (kept for checkpoint parity; the
+  softmax is computed in fp32 so the constant is safely representable).
+  """
+  mask = attention_mask.astype(dtype)
+  return ((1.0 - mask) * -10000.0)[:, None, None, :]
+
+
+class FeatureBert(nn.Module):
+  """Video-side BERT: embeddings = pos + type + continuous features.
+
+  model/bert.py:87-105 semantics: if position ids are given, add position
+  embeddings; always add token-type embeddings and the projected features;
+  then LayerNorm + dropout.  The CLS output is read by the caller.
+  """
+  cfg: BertParams
+  dtype: jnp.dtype = jnp.float32
+
+  @nn.compact
+  def __call__(self, features, attention_mask, token_type_ids,
+               position_ids=None, *, deterministic: bool = True):
+    cfg = self.cfg
+    emb_init = nn.initializers.normal(cfg.initializer_range)
+    type_emb = nn.Embed(cfg.type_vocab_size, cfg.hidden_size,
+                        embedding_init=emb_init, name="token_type_embeddings",
+                        dtype=self.dtype)(token_type_ids)
+    emb = type_emb + features.astype(self.dtype)
+    if position_ids is not None:
+      pos_emb = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
+                         embedding_init=emb_init, name="position_embeddings",
+                         dtype=self.dtype)(position_ids)
+      emb = emb + pos_emb
+    else:
+      # Keep the table in the param tree for checkpoint-shape stability.
+      nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
+               embedding_init=emb_init, name="position_embeddings")
+    emb = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="embeddings_ln",
+                       dtype=jnp.float32)(emb)
+    emb = nn.Dropout(cfg.hidden_dropout_prob)(emb, deterministic=deterministic)
+
+    bias = attention_bias_from_mask(attention_mask)
+    hidden = TransformerEncoder(cfg, dtype=self.dtype, name="encoder")(
+        emb, bias, deterministic=deterministic)
+    return hidden
+
+
+class TextBert(nn.Module):
+  """Text-side BERT (bert-base-cased geometry): word + pos + type lookup.
+
+  Mirrors the HF model the reference finetunes (model/model.py:161-162,
+  :371-376).  The bertfrz<N> / txt_inp='bertfrz' freeze modes
+  (model/model.py:164-193) are implemented as optimizer-side parameter
+  masks (mmt_tpu/train/optim.py) — torch's requires_grad=False still lets
+  gradients flow *through* frozen layers to the embeddings below, which
+  stop_gradient would not.
+  """
+  cfg: BertParams
+  dtype: jnp.dtype = jnp.float32
+
+  @nn.compact
+  def __call__(self, input_ids, attention_mask, token_type_ids,
+               position_ids, *, deterministic: bool = True):
+    cfg = self.cfg
+    emb_init = nn.initializers.normal(cfg.initializer_range)
+    word_emb = nn.Embed(cfg.vocab_size, cfg.hidden_size,
+                        embedding_init=emb_init, name="word_embeddings",
+                        dtype=self.dtype)(input_ids)
+    pos_emb = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
+                       embedding_init=emb_init, name="position_embeddings",
+                       dtype=self.dtype)(position_ids)
+    type_emb = nn.Embed(cfg.type_vocab_size, cfg.hidden_size,
+                        embedding_init=emb_init, name="token_type_embeddings",
+                        dtype=self.dtype)(token_type_ids)
+    emb = word_emb + pos_emb + type_emb
+    emb = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="embeddings_ln",
+                       dtype=jnp.float32)(emb)
+    emb = nn.Dropout(cfg.hidden_dropout_prob)(emb, deterministic=deterministic)
+
+    bias = attention_bias_from_mask(attention_mask)
+    hidden = TransformerEncoder(cfg, dtype=self.dtype, name="encoder")(
+        emb, bias, deterministic=deterministic)
+    return hidden
+
+
+class Pooler(nn.Module):
+  """tanh(Dense(first token)) — model/bert.py:295-309."""
+  hidden_size: int
+  dtype: jnp.dtype = jnp.float32
+
+  @nn.compact
+  def __call__(self, hidden):
+    first = hidden[:, 0]
+    return jnp.tanh(nn.Dense(self.hidden_size, dtype=self.dtype,
+                             name="dense")(first))

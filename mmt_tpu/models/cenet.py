@@ -1,0 +1,416 @@
+"""CENet: the full cross-modal architecture.
+
+Functional rebuild of /root/reference/model/model.py:45-680 with every
+config switch:
+
+* ``txt_agg``: bert{ftn,frz[N]}{cls,mxp,mnp} | vlad | mxp | lstm
+  (model/model.py:137-227, :349-409)
+* ``txt_pro``: gbn | gem | lin                  (model/model.py:229-242)
+* ``txt_wgh`` / ``vid_wgh``: emb | nrm | none   (model/model.py:244-310)
+* ``vid_cont``: bert | coll | none              (model/model.py:109-135)
+* ``vid_inp``: agg | both | all | temp          (model/model.py:420-437)
+* ``pos_enc``: tint | ordr | type | none        (model/model.py:513-551)
+* ``out_tok``: sep | mxp | mnp                  (model/model.py:534-540)
+* missing-modality masking + L1/L2 normalizations (model/model.py:599-625)
+
+TPU-native difference: the video token sequence is assembled with static
+concatenations (one per modality segment), not the reference's per-token
+python loop (model/model.py:487-567); all shapes are static per config.
+
+The module returns per-modality embeddings + MoE weights; the similarity
+matrix is a separate fused op (mmt_tpu/ops/similarity.py) so the trainer
+can insert the cross-device all-gather between the two under data
+parallelism (the analogue of the reference's out='embds' mode,
+trainer/trainer.py:185-199).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any, Dict, Mapping, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mmt_tpu.config import BertParams, TxtAggSpec, TEXT_BERT_BASE_CASED
+from mmt_tpu.models import components as C
+from mmt_tpu.models.bert import FeatureBert, TextBert
+from mmt_tpu.ops import similarity as similarity_ops
+
+# Video-sequence token ids (model/model.py:486): 0=[CLS] 2=[AGG] 6=[FEA].
+CLS_ID, AGG_ID, FEA_ID = 0, 2, 6
+
+
+class CENet(nn.Module):
+  """Cross-modal video/text retrieval network."""
+  expert_dims: Mapping[str, Mapping[str, int]]   # name -> {dim, idx} (sorted)
+  vid_bert_params: Mapping[str, Any]
+  txt_bert_params: Optional[Mapping[str, Any]] = None
+  text_bert_geometry: Optional[Mapping[str, Any]] = None  # test override
+  keep_missing_modalities: bool = True
+  test_caption_mode: str = "indep"
+  txt_inp: str = "bertftn"
+  txt_agg: str = "bertftn"
+  txt_pro: str = "gbn"
+  txt_wgh: str = "emb"
+  vid_inp: str = "both"
+  vid_cont: str = "bert"
+  vid_wgh: str = "none"
+  pos_enc: str = "tint"
+  out_tok: str = "mxp"
+  same_dim: int = 512
+  l2renorm: bool = False          # stored for config parity (unused, as in ref)
+  normalize_experts: bool = True
+  we_vocab_size: int = 0          # word-embedding path (txt_agg vlad/mxp/lstm)
+  we_dim: int = 768
+  compute_dtype: Any = jnp.float32
+
+  @property
+  def modalities(self):
+    return list(self.expert_dims.keys())
+
+  # -- static sequence geometry -------------------------------------------
+  def video_seq_len(self, max_expert_tokens: int) -> int:
+    n = 1  # CLS
+    for _ in self.modalities:
+      if self.vid_inp in ("agg", "both", "all"):
+        n += 1
+      if self.vid_inp in ("temp", "both", "all"):
+        n += max_expert_tokens
+    return n
+
+  def setup(self):
+    mods = self.modalities
+    vid_cfg = BertParams.from_dict(dict(self.vid_bert_params))
+    self.txt_agg_spec = TxtAggSpec.parse(self.txt_agg)
+
+    # --- text encoder ---
+    if self.txt_agg_spec.kind == "bert":
+      geom = dict(self.text_bert_geometry or {})
+      base = {f: getattr(TEXT_BERT_BASE_CASED, f)
+              for f in TEXT_BERT_BASE_CASED.__dataclass_fields__}
+      base.update(geom)
+      if self.txt_bert_params:
+        base.update({k: v for k, v in self.txt_bert_params.items()
+                     if k in base})
+      self.txt_bert_cfg = BertParams(**base)
+      self.txt_bert = TextBert(self.txt_bert_cfg, dtype=self.compute_dtype,
+                               name="txt_bert")
+      text_dim = self.txt_bert_cfg.hidden_size
+    else:
+      assert self.we_vocab_size > 0, "word-embedding path needs we_vocab_size"
+      self.word_embeddings = C.TxtEmbeddings(self.we_vocab_size, self.we_dim,
+                                             name="word_embeddings")
+      if self.txt_agg == "vlad":
+        self.text_pooling = C.NetVLAD(cluster_size=28,
+                                      feature_size=self.we_dim,
+                                      name="text_pooling")
+        text_dim = 28 * self.we_dim
+      elif self.txt_agg == "lstm":
+        self.text_pooling = C.LSTMPooler(hidden_dim=512, output_dim=512,
+                                         name="text_pooling")
+        text_dim = 512
+      else:  # mxp / mnp
+        text_dim = self.we_dim
+    self.text_dim = text_dim
+
+    # --- per-modality text projections ---
+    if self.txt_pro == "gbn":
+      self.text_gu = {m: C.GatedEmbeddingUnit(
+          self.same_dim, use_bn=True, normalize=self.normalize_experts,
+          name=f"text_gu_{m}") for m in mods}
+    elif self.txt_pro == "gem":
+      self.text_gu = {m: C.GatedEmbeddingUnit(
+          self.same_dim, use_bn=False, normalize=self.normalize_experts,
+          name=f"text_gu_{m}") for m in mods}
+    elif self.txt_pro == "lin":
+      self.text_gu = {m: C.ReduceDim(self.same_dim, name=f"text_gu_{m}")
+                      for m in mods}
+    else:
+      raise ValueError(f"unknown txt_pro {self.txt_pro!r}")
+
+    # --- video projections ---
+    if self.vid_inp in ("agg", "both", "all", "temp"):
+      self.video_dim_reduce = {
+          m: C.ReduceDim(self.same_dim, name=f"video_dim_reduce_{m}")
+          for m in mods}
+
+    if self.vid_cont == "bert":
+      # Continuous features are *added* to the embeddings
+      # (model/bert.py:95-104), so the common expert dim must equal the
+      # video transformer width (512 == 512 in every published config).
+      assert vid_cfg.hidden_size == self.same_dim, (
+          f"vid_bert hidden_size ({vid_cfg.hidden_size}) must equal "
+          f"same_dim ({self.same_dim}) for the feature-additive embeddings")
+      self.vid_bert = FeatureBert(vid_cfg, dtype=self.compute_dtype,
+                                  name="vid_bert")
+      self.vid_cfg = vid_cfg
+    elif self.vid_cont == "coll":
+      self.g_reason_1 = nn.Dense(self.same_dim, name="g_reason_1")
+      self.g_reason_2 = nn.Dense(self.same_dim, name="g_reason_2")
+      self.f_reason_1 = nn.Dense(self.same_dim, name="f_reason_1")
+      self.f_reason_2 = nn.Dense(self.same_dim, name="f_reason_2")
+      self.video_gu = {m: C.GatedEmbeddingUnitReasoning(
+          self.same_dim, name=f"video_gu_{m}") for m in mods}
+      self.coll_dropout_rate = float(
+          dict(self.vid_bert_params).get("hidden_dropout_prob", 0.1))
+    elif self.vid_cont != "none":
+      raise ValueError(f"unknown vid_cont {self.vid_cont!r}")
+
+    # --- MoE weight heads ---
+    if self.txt_wgh == "emb":
+      self.moe_fc_txt = {m: nn.Dense(1, name=f"moe_fc_txt_{m}") for m in mods}
+      p = (self.txt_bert_params or {}).get("hidden_dropout_prob", 0.1)
+      self.moe_txt_dropout = nn.Dropout(float(p))
+    if self.vid_wgh == "emb":
+      self.moe_fc_vid = {m: nn.Dense(1, name=f"moe_fc_vid_{m}") for m in mods}
+      p = dict(self.vid_bert_params).get("hidden_dropout_prob", 0.1)
+      self.moe_vid_dropout = nn.Dropout(float(p))
+
+    self.vid_dropout_rate = float(
+        dict(self.vid_bert_params).get("hidden_dropout_prob", 0.1))
+
+  # ------------------------------------------------------------------
+  def __call__(self, batch: Dict[str, Any], *, train: bool = False):
+    """Returns per-modality embeddings and MoE weights.
+
+    batch (static shapes, base/base_dataset.py:876-896 schema):
+      token_ids [B,K,T,2] int32, query_masks [B,K],
+      features / features_t / features_ind / features_avgpool /
+      features_maxpool: dicts keyed by modality.
+    """
+    mods = self.modalities
+    token_ids = batch["token_ids"]
+    b, k, t, _ = token_ids.shape
+    m = len(mods)
+
+    ind = {mod: jnp.max(batch["features_ind"][mod], axis=1) for mod in mods}
+
+    # ---------------- text branch ----------------
+    flat_ids = token_ids.reshape(b * k, t, 2)
+    input_ids = flat_ids[:, :, 0].astype(jnp.int32)
+    attn_mask = flat_ids[:, :, 1].astype(jnp.int32)
+
+    if self.txt_agg_spec.kind == "bert":
+      pos_ids = jnp.broadcast_to(jnp.arange(t)[None, :], (b * k, t))
+      type_ids = jnp.zeros_like(input_ids)
+      last = self.txt_bert(input_ids, attn_mask, type_ids, pos_ids,
+                           deterministic=not train)
+      if self.txt_agg_spec.post_agg == "cls":
+        text = last[:, 0]
+      elif self.txt_agg_spec.post_agg == "mxp":
+        text = jnp.max(last[:, 1:], axis=1)
+      else:  # mnp
+        text = jnp.mean(last[:, 1:], axis=1)
+    else:
+      word_embs = self.word_embeddings(input_ids)
+      if self.txt_agg == "mxp":
+        neg_inf = jnp.finfo(word_embs.dtype).min
+        masked = jnp.where(attn_mask[:, :, None] == 0, neg_inf, word_embs)
+        text = jnp.max(masked, axis=1)
+      elif self.txt_agg == "vlad":
+        text = self.text_pooling(word_embs, train=train)
+      elif self.txt_agg == "lstm":
+        lengths = jnp.sum(attn_mask, axis=1)
+        text = self.text_pooling(word_embs, lengths)
+      else:
+        raise ValueError(f"unknown txt_agg {self.txt_agg!r}")
+
+    text_embd = {mod: self.text_gu[mod](text, train=train).reshape(b, k, -1)
+                 if self.txt_pro in ("gbn", "gem")
+                 else self.text_gu[mod](text).reshape(b, k, -1)
+                 for mod in mods}
+
+    # ---------------- video branch ----------------
+    mnp_experts, maxp_experts = {}, {}
+    if self.vid_inp in ("agg", "both", "all"):
+      for mod in mods:
+        mnp_experts[mod] = self.video_dim_reduce[mod](
+            batch["features_avgpool"][mod])
+        maxp_experts[mod] = self.video_dim_reduce[mod](
+            batch["features_maxpool"][mod])
+
+    temp_feats = {}
+    if self.vid_inp in ("temp", "both", "all"):
+      for mod in mods:
+        temp_feats[mod] = self.video_dim_reduce[mod](batch["features"][mod])
+
+    experts: Dict[str, jnp.ndarray] = {}
+    vid_embd = None
+
+    if self.vid_cont == "bert":
+      seq = self._assemble_video_sequence(batch, b, ind, mnp_experts,
+                                          maxp_experts, temp_feats)
+      last = self.vid_bert(seq["features"], seq["attention_mask"],
+                           seq["token_type_ids"], seq["position_ids"],
+                           deterministic=not train)
+      vid_embd = last[:, 0]
+      for mod in mods:
+        experts[mod] = last[:, seq["tok_map"][mod]]
+
+    elif self.vid_cont == "coll":
+      experts = dict(maxp_experts)
+      experts = self._collaborative_gating(experts, ind, train)
+
+    else:  # none
+      experts = dict(maxp_experts)
+
+    # ---------------- MoE weights ----------------
+    if self.vid_wgh == "nrm":
+      norms = jnp.stack([jnp.linalg.norm(experts[mod], axis=-1)
+                         for mod in mods], axis=-1)           # [B, M]
+      vid_weights = norms / jnp.sum(norms, axis=-1, keepdims=True)
+    elif self.vid_wgh == "emb":
+      e = self.moe_vid_dropout(vid_embd, deterministic=not train)
+      logits = jnp.concatenate([self.moe_fc_vid[mod](e) for mod in mods], -1)
+      vid_weights = jax.nn.softmax(logits, axis=1)
+    elif self.vid_wgh == "none":
+      vid_weights = jnp.ones((b, m), dtype=jnp.float32)
+    else:
+      raise NotImplementedError(
+          f"video weighting mode {self.vid_wgh} not supported")
+
+    if not self.keep_missing_modalities:
+      available = jnp.stack([ind[mod] for mod in mods], -1).astype(jnp.float32)
+      vid_weights = vid_weights * available
+    vid_weights = C.l1_normalize(vid_weights)
+
+    if self.txt_wgh == "emb":
+      e = self.moe_txt_dropout(text, deterministic=not train)
+      logits = jnp.concatenate([self.moe_fc_txt[mod](e) for mod in mods], -1)
+      text_weights = jax.nn.softmax(logits, axis=1).reshape(b, k, m)
+    elif self.txt_wgh == "none":
+      text_weights = jnp.ones((b, k, m), dtype=jnp.float32)
+    else:
+      raise NotImplementedError(
+          f"txt weighting mode {self.txt_wgh} not supported")
+    text_weights = C.l1_normalize(text_weights)
+
+    # ---------------- final norms + stacking ----------------
+    if self.normalize_experts:
+      experts = {mod: C.l2_normalize(v) for mod, v in experts.items()}
+      text_embd = {mod: C.l2_normalize(v) for mod, v in text_embd.items()}
+
+    vid_embds = jnp.stack([experts[mod] for mod in mods], axis=1)   # [B,M,D]
+    text_embds = jnp.stack([text_embd[mod] for mod in mods], axis=2)  # [B,K,M,D]
+
+    return {
+        "vid_embds": vid_embds.astype(jnp.float32),
+        "text_embds": text_embds.astype(jnp.float32),
+        "vid_weights": vid_weights.astype(jnp.float32),
+        "text_weights": text_weights.astype(jnp.float32),
+    }
+
+  # ------------------------------------------------------------------
+  def _assemble_video_sequence(self, batch, b, ind, mnp_experts,
+                               maxp_experts, temp_feats):
+    """Static-shape token assembly (model/model.py:485-567 semantics)."""
+    mods = self.modalities
+    d = self.same_dim
+    max_pos = self.vid_cfg.max_position_embeddings - 1
+
+    feats = [jnp.zeros((b, 1, d), dtype=jnp.float32)]
+    types = [jnp.zeros((b, 1), dtype=jnp.int32)]
+    pos = [jnp.zeros((b, 1), dtype=jnp.int32)]
+    mask = [jnp.ones((b, 1), dtype=jnp.int32)]
+
+    tok_map = {}
+    tok_id = 0
+    for mod in mods:
+      token_type = int(self.expert_dims[mod]["idx"])
+      if self.vid_inp in ("agg", "both", "all"):
+        tok_id += 1
+        tok_map[mod] = tok_id
+        if self.out_tok == "sep":
+          agg_feat = jnp.zeros((b, 1, d), dtype=jnp.float32)
+        elif self.out_tok == "mxp":
+          agg_feat = maxp_experts[mod][:, None, :]
+        elif self.out_tok == "mnp":
+          agg_feat = mnp_experts[mod][:, None, :]
+        else:
+          raise ValueError(f"unknown out_tok {self.out_tok!r}")
+        feats.append(agg_feat.astype(jnp.float32))
+        types.append(jnp.full((b, 1), token_type, dtype=jnp.int32))
+        pos.append(jnp.zeros((b, 1), dtype=jnp.int32))
+        mask.append(ind[mod][:, None].astype(jnp.int32))
+      if self.vid_inp in ("temp", "both", "all"):
+        f = temp_feats[mod]
+        n_tok = f.shape[1]
+        if mod not in tok_map:
+          # vid_inp='temp': aggregate over the modality's own tokens is not
+          # defined in the reference either (model/model.py:586-587 would
+          # KeyError); surface a clear error instead.
+          raise ValueError(
+              "vid_inp='temp' with vid_cont='bert' has no aggregated token "
+              "to read the expert embedding from; use 'both' or 'all'")
+        if self.pos_enc == "ordr":
+          p = jnp.broadcast_to(jnp.arange(1, n_tok + 1, dtype=jnp.int32)[None],
+                               (b, n_tok))
+        elif self.pos_enc == "tint":
+          p = jnp.clip(batch["features_t"][mod], 0, max_pos).astype(jnp.int32)
+        elif self.pos_enc == "type":
+          p = jnp.ones((b, n_tok), dtype=jnp.int32)
+        elif self.pos_enc == "none":
+          p = jnp.zeros((b, n_tok), dtype=jnp.int32)
+        else:
+          raise ValueError(f"unknown pos_enc {self.pos_enc!r}")
+        tok_id += n_tok
+        feats.append(f.astype(jnp.float32))
+        types.append(jnp.full((b, n_tok), token_type, dtype=jnp.int32))
+        pos.append(p)
+        mask.append(batch["features_ind"][mod].astype(jnp.int32))
+
+    return {
+        "features": jnp.concatenate(feats, axis=1),
+        "token_type_ids": jnp.concatenate(types, axis=1),
+        "position_ids": (None if self.pos_enc == "none"
+                         else jnp.concatenate(pos, axis=1)),
+        "attention_mask": jnp.concatenate(mask, axis=1),
+        "tok_map": tok_map,
+    }
+
+  # ------------------------------------------------------------------
+  def _collaborative_gating(self, experts, ind, train):
+    """Collaborative-experts reasoning path (model/model.py:445-482)."""
+    mods = self.modalities
+    assert len(mods) > 1, "use_ce requires multiple modalities"
+    out = {}
+    for modality in mods:
+      temp_sum = 0.0
+      avail_sum = 0.0
+      for mod0, mod1 in itertools.permutations(mods, 2):
+        if mod0 != modality:
+          continue
+        fused = jnp.concatenate([experts[mod0], experts[mod1]], axis=1)
+        temp = self.g_reason_1(fused)
+        if train:
+          temp = nn.Dropout(self.coll_dropout_rate)(
+              temp, deterministic=False, rng=self.make_rng("dropout"))
+        temp = self.g_reason_2(jax.nn.relu(temp))
+        avail = (ind[mod0] * ind[mod1]).astype(temp.dtype)
+        temp_sum = temp_sum + temp * avail[:, None]
+        avail_sum = avail_sum + avail
+      curr_mask = temp_sum / (avail_sum + 1e-11)[:, None]
+      curr_mask = self.f_reason_1(curr_mask)
+      if train:
+        curr_mask = nn.Dropout(self.coll_dropout_rate)(
+            curr_mask, deterministic=False, rng=self.make_rng("dropout"))
+      curr_mask = self.f_reason_2(jax.nn.relu(curr_mask))
+      out[modality] = self.video_gu[modality](experts[modality], curr_mask,
+                                              train=train)
+    return out
+
+
+def similarity_from_outputs(outputs, merge: str):
+  """Full MoE similarity from CENet outputs (caption axis unrolled)."""
+  text_embds = outputs["text_embds"]
+  b, k, m, d = text_embds.shape
+  return similarity_ops.moe_similarity(
+      text_embds.reshape(b * k, m, d),
+      outputs["vid_embds"],
+      outputs["text_weights"].reshape(b * k, m),
+      outputs["vid_weights"],
+      merge=merge,
+      num_caps=k,
+  )

@@ -1,0 +1,154 @@
+"""Fused MoE-weighted cross-view similarity.
+
+The reference computes, for every (caption q, video v) pair
+(/root/reference/model/model.py:789-837):
+
+    moe_w[q,v,m] = tw[q,m] * vw[v,m] / sum_m tw[q,m] * vw[v,m]   (0-sum -> 1e-5)
+    sims[q,v]    = sum_m moe_w[q,v,m] * <text[q,m,:], vid[v,m,:]>
+
+via an M-way python loop of matmuls plus a materialized [Q,V,M] weight
+tensor.  Because the per-pair normalizer is a rank-1-style contraction,
+the whole thing factorizes into exactly TWO MXU contractions:
+
+    numer[q,v] = einsum('qmd,vmd->qv', tw[...,None]*text, vw[...,None]*vid)
+    denom[q,v] = tw @ vw.T              (with denom==0 -> 1e-5)
+    sims       = numer / denom
+
+No [Q,V,M] tensor, no loop over modalities — this is the TPU-native
+formulation.  A Pallas kernel fusing both contractions and the divide is
+provided for large eval matrices; both paths are exactly equivalent.
+
+Caption-merge semantics ('avg' at train, 'indep' at eval) follow
+model/model.py:827-836.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_USE_PALLAS = bool(int(os.environ.get("MMT_TPU_PALLAS_SIMILARITY", "0")))
+EPS_ZERO_GUARD = 1e-5  # model/model.py:816
+
+
+def use_pallas(enable: bool) -> None:
+  global _USE_PALLAS
+  _USE_PALLAS = enable
+
+
+def moe_similarity(text_embds, vid_embds, text_weights, vid_weights,
+                   merge: str = "avg", num_caps: int = 1):
+  """Similarity matrix between all captions and all videos.
+
+  Args:
+    text_embds:  [Q, M, D] L2-normalized per-modality caption embeddings
+                 (Q = B * num_caps, captions unrolled onto the first axis).
+    vid_embds:   [V, M, D] L2-normalized per-modality video embeddings.
+    text_weights: [Q, M] L1-normalized caption modality weights.
+    vid_weights:  [V, M] L1-normalized video modality weights.
+    merge: 'avg' (train: mean over a video's captions -> [B, V]) or
+           'indep' (eval: keep captions separate -> [Q, V]).
+    num_caps: captions per video (Q = B * num_caps).
+
+  Returns:
+    [B, V] ('avg') or [Q, V] ('indep') similarity matrix, fp32.
+  """
+  if _USE_PALLAS and jax.default_backend() == "tpu":
+    sims = _pallas_moe_similarity(text_embds, vid_embds,
+                                  text_weights, vid_weights)
+  else:
+    sims = _xla_moe_similarity(text_embds, vid_embds,
+                               text_weights, vid_weights)
+  if num_caps > 1 and merge == "avg":
+    q, v = sims.shape
+    sims = sims.reshape(q // num_caps, num_caps, v).mean(axis=1)
+  elif merge not in ("avg", "indep"):
+    raise ValueError(f"unrecognised merge mode: {merge}")
+  return sims
+
+
+def _xla_moe_similarity(text_embds, vid_embds, text_weights, vid_weights):
+  tw = text_weights.astype(jnp.float32)
+  vw = vid_weights.astype(jnp.float32)
+  t = text_embds.astype(jnp.float32) * tw[:, :, None]
+  v = vid_embds.astype(jnp.float32) * vw[:, :, None]
+  numer = jnp.einsum("qmd,vmd->qv", t, v,
+                     preferred_element_type=jnp.float32)
+  denom = jnp.einsum("qm,vm->qv", tw, vw,
+                     preferred_element_type=jnp.float32)
+  denom = jnp.where(denom == 0, EPS_ZERO_GUARD, denom)
+  return numer / denom
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: tiles of the (Q, V) output; the M*D contraction is folded
+# into a single [TQ, M*D] x [M*D, TV] matmul per tile, the M contraction of
+# the denominator rides along in the same tile, and the guarded divide is
+# fused before writeback (one HBM pass over the output).
+# ---------------------------------------------------------------------------
+
+
+def _sim_kernel(t_ref, v_ref, tw_ref, vw_ref, out_ref):
+  t = t_ref[:].astype(jnp.float32)      # [TQ, M*D] weight-scaled text
+  v = v_ref[:].astype(jnp.float32)      # [TV, M*D] weight-scaled video
+  tw = tw_ref[:].astype(jnp.float32)    # [TQ, M]
+  vw = vw_ref[:].astype(jnp.float32)    # [TV, M]
+  numer = jax.lax.dot_general(t, v, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+  denom = jax.lax.dot_general(tw, vw, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+  denom = jnp.where(denom == 0, EPS_ZERO_GUARD, denom)
+  out_ref[:] = numer / denom
+
+
+def _round_up(x, m):
+  return ((x + m - 1) // m) * m
+
+
+@jax.jit
+def _pallas_moe_similarity(text_embds, vid_embds, text_weights, vid_weights):
+  q, m, d = text_embds.shape
+  v = vid_embds.shape[0]
+  tw = text_weights.astype(jnp.float32)
+  vw = vid_weights.astype(jnp.float32)
+  t = (text_embds.astype(jnp.float32) * tw[:, :, None]).reshape(q, m * d)
+  vv = (vid_embds.astype(jnp.float32) * vw[:, :, None]).reshape(v, m * d)
+
+  tile_q = min(_round_up(q, 8), 256)
+  tile_v = min(_round_up(v, 128), 512)
+  qp, vp = _round_up(q, tile_q), _round_up(v, tile_v)
+  # Zero padding is harmless: padded rows produce denom==0 -> eps guard.
+  t = jnp.pad(t, ((0, qp - q), (0, 0)))
+  vv = jnp.pad(vv, ((0, vp - v), (0, 0)))
+  tw = jnp.pad(tw, ((0, qp - q), (0, 0)))
+  vw = jnp.pad(vw, ((0, vp - v), (0, 0)))
+
+  grid = (qp // tile_q, vp // tile_v)
+  out = pl.pallas_call(
+      _sim_kernel,
+      grid=grid,
+      in_specs=[
+          pl.BlockSpec((tile_q, m * d), lambda i, j: (i, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((tile_v, m * d), lambda i, j: (j, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((tile_q, m), lambda i, j: (i, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((tile_v, m), lambda i, j: (j, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((tile_q, tile_v), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((qp, vp), jnp.float32),
+      cost_estimate=pl.CostEstimate(
+          flops=2 * qp * vp * (m * d + m),
+          bytes_accessed=4 * (qp * m * d + vp * m * d + qp * vp),
+          transcendentals=0,
+      ),
+  )(t, vv, tw, vw)
+  return out[:q, :v]

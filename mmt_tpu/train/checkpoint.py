@@ -1,0 +1,137 @@
+"""Checkpointing: atomic msgpack pytree saves with the reference's resume
+semantics.
+
+Reproduces base/base_trainer.py:346-464 and utils/util.py:71-82:
+* state = {params, batch_stats, opt_state?, epoch, n_samples, n_steps,
+  monitor_best, config, arch} saved crash-safe via tmp + os.rename;
+* best-model copy ``trained_model.msgpack``;
+* stale-checkpoint purge keeping the newest ``num_keep_ckpts``;
+* restart (same exp dir) = strict load incl. optimizer + counters;
+  warm start (--load_checkpoint) = non-strict param merge, counters reset;
+* cross-config transfer zero-pads ``vid_bert`` position-embedding rows so
+  a 32-slot pretrain loads into a 102-slot finetune model
+  (base/base_trainer.py:391-406).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import pathlib
+import re
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+from flax import serialization
+
+logger = logging.getLogger(__name__)
+
+CKPT_RE = r"checkpoint-epoch(\d+)\.msgpack$"
+
+
+def _atomic_write(path, data: bytes):
+  tmp = str(path) + "_"
+  with open(tmp, "wb") as f:
+    f.write(data)
+  os.rename(tmp, path)
+
+
+def save_checkpoint(ckpt_dir, state: Dict[str, Any], epoch: int,
+                    save_best: bool = False) -> str:
+  """Serialize the state pytree; optionally refresh trained_model."""
+  ckpt_dir = pathlib.Path(ckpt_dir)
+  ckpt_dir.mkdir(parents=True, exist_ok=True)
+  blob = serialization.to_bytes(state)
+  path = ckpt_dir / f"checkpoint-epoch{epoch}.msgpack"
+  tic = time.time()
+  _atomic_write(path, blob)
+  logger.info("Saved checkpoint %s in %.3fs", path, time.time() - tic)
+  if save_best:
+    _atomic_write(ckpt_dir / "trained_model.msgpack", blob)
+  return str(path)
+
+
+def load_checkpoint(path, target: Dict[str, Any]) -> Dict[str, Any]:
+  """Deserialize into the structure of ``target`` (strict layout)."""
+  with open(path, "rb") as f:
+    return serialization.from_bytes(target, f.read())
+
+
+def load_checkpoint_raw(path) -> Dict[str, Any]:
+  """Deserialize without a target (nested dicts of arrays)."""
+  with open(path, "rb") as f:
+    return serialization.msgpack_restore(f.read())
+
+
+def last_checkpoint(exp_dir) -> Optional[str]:
+  """Highest-epoch checkpoint in a directory (utils/util.py:71-82)."""
+  best, best_epoch = None, -1
+  if not os.path.isdir(exp_dir):
+    return None
+  for fname in os.listdir(exp_dir):
+    m = re.search(CKPT_RE, fname)
+    if m and int(m.group(1)) > best_epoch:
+      best_epoch = int(m.group(1))
+      best = os.path.join(exp_dir, fname)
+  return best
+
+
+def purge_stale_checkpoints(ckpt_dir, num_keep: int = 1):
+  """Drop all but the newest ``num_keep`` epoch checkpoints
+  (base/base_trainer.py:299-323; trained_model is never purged)."""
+  ckpt_dir = pathlib.Path(ckpt_dir)
+  found = []
+  for p in ckpt_dir.glob("checkpoint-epoch*.msgpack"):
+    m = re.search(CKPT_RE, str(p))
+    if m:
+      found.append((int(m.group(1)), p))
+  for epoch, path in sorted(found, key=lambda x: -x[0])[num_keep:]:
+    path.unlink()
+    logger.info("removed stale ckpt [epoch %d]", epoch)
+
+
+def match_checkpoint_to_model(loaded_params, target_params):
+  """Zero-pad vid_bert position embeddings on row-count mismatch
+  (base/base_trainer.py:391-406 transfer rule)."""
+  try:
+    emb = loaded_params["vid_bert"]["position_embeddings"]["embedding"]
+    tgt = target_params["vid_bert"]["position_embeddings"]["embedding"]
+  except (KeyError, TypeError):
+    return loaded_params
+  if emb.shape != tgt.shape and emb.shape[0] < tgt.shape[0]:
+    pad = np.zeros((tgt.shape[0] - emb.shape[0], emb.shape[1]), emb.dtype)
+    loaded_params["vid_bert"]["position_embeddings"]["embedding"] = (
+        np.concatenate([np.asarray(emb), pad], axis=0))
+    logger.warning("vid_bert position embeddings zero-padded %s -> %s",
+                   emb.shape, tgt.shape)
+  return loaded_params
+
+
+def merge_params(target, loaded, path=""):
+  """Non-strict merge: copy loaded leaves whose path+shape match target
+  (torch load_state_dict(strict=False) semantics for warm starts)."""
+  if isinstance(target, dict):
+    out = {}
+    for key, tgt_val in target.items():
+      if isinstance(loaded, dict) and key in loaded:
+        out[key] = merge_params(tgt_val, loaded[key], f"{path}/{key}")
+      else:
+        logger.warning("warm start: missing %s/%s (kept init)", path, key)
+        out[key] = tgt_val
+    return out
+  loaded_arr = np.asarray(loaded)
+  if hasattr(target, "shape") and loaded_arr.shape == target.shape:
+    return loaded_arr.astype(np.asarray(target).dtype)
+  logger.warning("warm start: shape mismatch at %s (%s vs %s; kept init)",
+                 path, getattr(loaded_arr, "shape", None),
+                 getattr(target, "shape", None))
+  return target
+
+
+def write_info(exp_dir, resume_path, epoch):
+  """Provenance note for warm starts (base/base_trainer.py:459-462)."""
+  with open(pathlib.Path(exp_dir) / "info_checkpoint.txt", "a") as f:
+    f.write(f"This experiment is based on the checkpoint {resume_path} "
+            f"loaded at epoch {epoch}\n")

@@ -1,0 +1,102 @@
+"""Retrieval metrics: host-side numpy parity path + on-device path.
+
+``t2v_metrics`` / ``v2t_metrics`` reproduce the reference semantics
+(/root/reference/model/metric.py:26-258) exactly, including tie-averaged
+ranks, query masking, and the +1 offsets of MedR/MeanR.  The rank
+computation can run on-device (mmt_tpu/ops/ranking.py) with the small
+rank->metrics reduction on host; ``cols2metrics`` is shared.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.stats
+
+from mmt_tpu.ops import ranking as ranking_ops
+from mmt_tpu.registry import register
+
+
+def cols2metrics(cols, num_queries):
+  """model/metric.py:246-258 semantics (note: R1 counts exact rank 0, so a
+  two-way tie at the top contributes rank 0.5 and does NOT count)."""
+  cols = np.asarray(cols)
+  metrics = {}
+  metrics["R1"] = 100 * float(np.sum(cols == 0)) / num_queries
+  metrics["R5"] = 100 * float(np.sum(cols < 5)) / num_queries
+  metrics["R10"] = 100 * float(np.sum(cols < 10)) / num_queries
+  metrics["R50"] = 100 * float(np.sum(cols < 50)) / num_queries
+  metrics["MedR"] = float(np.median(cols) + 1)
+  metrics["MeanR"] = float(np.mean(cols) + 1)
+  stats = [metrics[x] for x in ("R1", "R5", "R10")]
+  metrics["geometric_mean_R1-R5-R10"] = float(scipy.stats.mstats.gmean(stats))
+  metrics["cols"] = [int(i) for i in list(cols)]
+  return metrics
+
+
+def _t2v_ranks_np(sims):
+  """Tie-averaged GT ranks, numpy (model/metric.py:41-121 semantics)."""
+  nq, nv = sims.shape
+  qu = nq // nv
+  dists = -np.asarray(sims, dtype=np.float64)
+  gt_col = np.arange(nq) // qu
+  d_gt = dists[np.arange(nq), gt_col][:, None]
+  closer = np.sum(dists < d_gt, axis=1)
+  tied = np.sum(dists == d_gt, axis=1)
+  return closer + (tied - 1) / 2.0
+
+
+@register("metric", "t2v_metrics")
+def t2v_metrics(sims, query_masks=None, device=False):
+  """Text-to-video retrieval metrics from a [Nq, Nv] similarity matrix."""
+  sims = np.asarray(sims)
+  assert sims.ndim == 2, "expected a matrix"
+  nq, nv = sims.shape
+  if device:
+    cols = np.asarray(ranking_ops.t2v_ranks(sims))
+  else:
+    cols = _t2v_ranks_np(sims)
+  if query_masks is not None:
+    assert query_masks.size == nq, "invalid query mask shape"
+    keep = np.asarray(query_masks).reshape(-1).astype(bool)
+    cols = cols[keep]
+    nq = int(keep.sum())
+  return cols2metrics(cols, nq)
+
+
+def _v2t_ranks_np(sims, query_masks):
+  """model/metric.py:169-218 semantics."""
+  simsT = np.asarray(sims, dtype=np.float64).T
+  num_queries, num_caps = simsT.shape
+  dists = -simsT
+  cpv = num_caps // num_queries
+  if query_masks is not None:
+    invalid = ~np.asarray(query_masks).reshape(-1).astype(bool)
+    dists[:, invalid] = ranking_ops.MISSING_VAL
+  ranks = np.empty(num_queries)
+  for ii in range(num_queries):
+    row = dists[ii]
+    min_rank = np.inf
+    for jj in range(ii * cpv, (ii + 1) * cpv):
+      if row[jj] == ranking_ops.MISSING_VAL:
+        continue
+      closer = np.sum(row < row[jj])
+      tied = np.sum(row == row[jj])
+      rank = closer + (tied - 1) / 2.0
+      min_rank = min(min_rank, rank)
+    ranks[ii] = min_rank
+  return ranks
+
+
+@register("metric", "v2t_metrics")
+def v2t_metrics(sims, query_masks=None, device=False):
+  """Video-to-text retrieval metrics (closest own caption, VSE-style)."""
+  sims = np.asarray(sims)
+  assert sims.ndim == 2, "expected a matrix"
+  nq, nv = sims.shape
+  if device:
+    masks = (query_masks if query_masks is not None
+             else np.ones((nv, nq // nv), dtype=np.float32))
+    ranks = np.asarray(ranking_ops.v2t_ranks(sims, np.asarray(masks)))
+  else:
+    ranks = _v2t_ranks_np(sims, query_masks)
+  return cols2metrics(ranks, nv)

@@ -1,0 +1,601 @@
+"""Training runtime: jitted steps, epoch loop, eval, checkpoints, logs.
+
+Covers base/base_trainer.py:39-464 + trainer/trainer.py:55-493 semantics,
+restructured for TPU:
+
+* one jitted ``train_step`` (forward + fused similarity + loss + backward
+  + optimizer, donated state) instead of the eager per-phase loop;
+* one jitted ``embed_step`` for eval; the full similarity matrix and the
+  retrieval ranks are computed on device (mmt_tpu/ops);
+* data parallelism via a 1-D ``data`` mesh: the batch is sharded on axis
+  0, params replicated; the similarity contraction over the global batch
+  makes XLA insert the embedding all-gather — differentiably — which is
+  the reference's DataParallel out='embds' + host-side loss re-fusion
+  path (trainer/trainer.py:134,185-199) done by the compiler;
+* epoch-0 eval-only baseline, curriculum train-set selection by
+  ``until_epoch``, ``max_samples_per_epoch`` caps, monitor / early-stop /
+  best-checkpoint, atomic checkpoint saves + stale purge, perf log and
+  TensorBoard scalars, final-eval artifacts (sims .npy, challenge CSV,
+  HTML ranking pages, exp_results.json + completion flag).
+"""
+
+from __future__ import annotations
+
+import collections
+import json
+import logging
+import os
+import pathlib
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmt_tpu.models.cenet import similarity_from_outputs
+from mmt_tpu.ops import similarity as similarity_ops
+from mmt_tpu.parallel import mesh as mesh_lib
+from mmt_tpu.train import checkpoint as ckpt_lib
+from mmt_tpu.train.optim import linear_warmup
+from mmt_tpu.utils.timing import AverageMeter, update_perf_log
+
+logger = logging.getLogger(__name__)
+
+MODEL_BATCH_KEYS = ("token_ids", "query_masks", "features", "features_t",
+                    "features_ind", "features_avgpool", "features_maxpool")
+
+
+def model_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
+  """Strip host-only list fields (the analogue of move_dict_to_device's
+  tensor filter, trainer/trainer.py:36-52)."""
+  return {k: batch[k] for k in MODEL_BATCH_KEYS if k in batch}
+
+
+def compress_predictions(query_masks: np.ndarray, sims: np.ndarray,
+                         topk: int = 10) -> np.ndarray:
+  """Top-k ranked video indices per valid query (utils/util.py:37-68)."""
+  assert query_masks.ndim == 2 and sims.ndim == 2
+  nv, per_vid = query_masks.shape
+  nq, nv2 = sims.shape
+  assert nv == nv2 and nq == nv * per_vid
+  valid = sims[query_masks.flatten().astype(bool)]
+  return np.argsort(-valid, axis=1)[:, :topk]
+
+
+def pad_batch_to_multiple(batch, multiple: int):
+  """Zero-pad every array's leading axis to a multiple of the mesh size.
+
+  Padded rows have all-zero attention masks/indicators, so they embed to
+  harmless values that the caller slices off; returns (padded, orig_n).
+  """
+  n = batch["token_ids"].shape[0]
+  pad = (-n) % multiple
+  if pad == 0:
+    return batch, n
+
+  def pad_arr(x):
+    if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == n:
+      widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+      return np.pad(np.asarray(x), widths)
+    return x
+
+  return jax.tree_util.tree_map(pad_arr, batch), n
+
+
+class Trainer:
+  """Epoch-loop trainer over pure jitted steps."""
+
+  def __init__(self, model, loss_fn, metrics, tx, base_lr, config,
+               data_loaders, lr_schedule, visualizer=None,
+               skip_first_n_saves=0, include_optim_in_ckpts=False,
+               expert_dims=None, num_keep_ckpts=1, tokenizer=None,
+               warmup_iterations=-1, init_rng=None, use_mesh=True,
+               device_metrics=True):
+    self.model = model
+    self.loss_fn = loss_fn
+    self.metrics = metrics                      # list of (name, fn)
+    self.tx = tx
+    self.base_lr = base_lr
+    self.config = config
+    self.data_loaders = data_loaders
+    self.lr_schedule = lr_schedule
+    self.visualizer = visualizer
+    self.skip_first_n_saves = skip_first_n_saves
+    self.include_optim_in_ckpts = include_optim_in_ckpts
+    self.num_keep_ckpts = num_keep_ckpts
+    self.tokenizer = tokenizer
+    self.warmup = linear_warmup(warmup_iterations)
+    self.modalities = list(expert_dims.keys()) if expert_dims else []
+    self.device_metrics = device_metrics
+
+    cfg_trainer = config["trainer"]
+    self.epochs = cfg_trainer["epochs"]
+    self.save_period = cfg_trainer.get("save_period", 1)
+    self.max_samples_per_epoch = cfg_trainer.get("max_samples_per_epoch",
+                                                 int(1e9))
+    monitor = cfg_trainer.get("monitor", "off")
+    from mmt_tpu.config import parse_monitor
+    self.mnt_mode, self.mnt_arg = parse_monitor(monitor)
+    if self.mnt_mode in ("min", "max"):
+      self.mnt_metric = self.mnt_arg
+      self.mnt_best = np.inf if self.mnt_mode == "min" else -np.inf
+      self.early_stop = cfg_trainer.get("early_stop", np.inf)
+    else:
+      self.mnt_best = 0
+      self.given_epoch = self.mnt_arg if self.mnt_mode == "given_epoch" else -1
+
+    self.exp_dir = pathlib.Path(config.save_dir)
+    self.perf_log_path = self.exp_dir / "perf_log.txt"
+    self.timer = AverageMeter()
+    self.writer = self._make_writer(config.log_dir)
+
+    self.start_epoch = 0
+    self.epoch = 0
+    self.loaded_epoch = 0
+    self.n_samples = 0
+    self.n_steps = 0
+
+    # Mesh / sharding.  The train batch must divide the mesh (the loss is
+    # defined over the global batch); fall back to replication otherwise.
+    self.mesh = mesh_lib.data_mesh() if use_mesh else None
+    if self.mesh is not None:
+      mesh_n = int(np.prod(self.mesh.devices.shape))
+      train_sets = self.data_loaders.get("train_sets") or []
+      if any(e.batch_size % mesh_n for e in train_sets):
+        logger.warning(
+            "train batch size not divisible by %d devices; "
+            "running replicated (set batch_size to a multiple to shard)",
+            mesh_n)
+        self.mesh = None
+
+    # Parameter init from the first available batch's shapes.
+    self.rng = init_rng if init_rng is not None else jax.random.PRNGKey(
+        config.seed if hasattr(config, "seed") else 0)
+    self._init_state()
+
+    self._train_step_fn = None
+    self._embed_step_fn = None
+
+    if config.resume is not None:
+      self._resume_checkpoint(config.resume)
+
+  # ------------------------------------------------------------------
+  def _make_writer(self, log_dir):
+    try:
+      from tensorboardX import SummaryWriter
+      return SummaryWriter(str(log_dir))
+    except Exception:  # pragma: no cover
+      class _Null:
+        def add_scalar(self, *a, **k): pass
+        def add_text(self, *a, **k): pass
+        def add_hparams(self, *a, **k): pass
+      return _Null()
+
+  def _first_loader(self):
+    sets = (self.data_loaders.get("train_sets")
+            or self.data_loaders.get("continuous_eval_sets")
+            or self.data_loaders["final_eval_sets"])
+    return sets[0]
+
+  def _init_state(self):
+    loader = self._first_loader()
+    probe = next(iter(loader["loader"]))
+    batch = model_batch(probe)
+    self.rng, init_rng, drop_rng = jax.random.split(self.rng, 3)
+    variables = self.model.init({"params": init_rng, "dropout": drop_rng},
+                                batch, train=False)
+    self.params = variables["params"]
+    self.batch_stats = variables.get("batch_stats", {})
+    self.opt_state = self.tx.init(self.params)
+    n = sum(x.size for x in jax.tree_util.tree_leaves(self.params))
+    logger.info("Initialized model: %s params", f"{n:,}")
+
+  # ------------------------------------------------------------------
+  # Jitted steps
+  # ------------------------------------------------------------------
+  def _build_train_step(self):
+    model, loss_fn, tx = self.model, self.loss_fn, self.tx
+
+    def train_step(params, batch_stats, opt_state, batch, lr, rng):
+      def compute_loss(p):
+        out, mut = model.apply(
+            {"params": p, "batch_stats": batch_stats}, batch, train=True,
+            rngs={"dropout": rng}, mutable=["batch_stats"])
+        sims = similarity_from_outputs(out, merge="avg")
+        return loss_fn(sims), mut.get("batch_stats", batch_stats)
+
+      (loss, new_bs), grads = jax.value_and_grad(
+          compute_loss, has_aux=True)(params)
+      opt_state.hyperparams["learning_rate"] = lr
+      updates, new_opt = tx.update(grads, opt_state, params)
+      import optax
+      new_params = optax.apply_updates(params, updates)
+      return new_params, new_bs, new_opt, loss
+
+    donate = (0, 1, 2)
+    if self.mesh is not None:
+      shardings = mesh_lib.batch_sharding(self.mesh)
+      return jax.jit(train_step, donate_argnums=donate,
+                     in_shardings=(None, None, None, shardings, None, None))
+    return jax.jit(train_step, donate_argnums=donate)
+
+  def _build_embed_step(self):
+    model = self.model
+
+    def embed_step(params, batch_stats, batch):
+      return model.apply({"params": params, "batch_stats": batch_stats},
+                         batch, train=False)
+
+    if self.mesh is not None:
+      shardings = mesh_lib.batch_sharding(self.mesh)
+      return jax.jit(embed_step, in_shardings=(None, None, shardings))
+    return jax.jit(embed_step)
+
+  @property
+  def train_step(self):
+    if self._train_step_fn is None:
+      self._train_step_fn = self._build_train_step()
+    return self._train_step_fn
+
+  @property
+  def embed_step(self):
+    if self._embed_step_fn is None:
+      self._embed_step_fn = self._build_embed_step()
+    return self._embed_step_fn
+
+  # ------------------------------------------------------------------
+  # Train loop
+  # ------------------------------------------------------------------
+  def train(self):
+    not_improved_count = 0
+    for epoch in range(self.start_epoch, self.epochs + 1):
+      self.epoch = epoch
+      epoch_start = time.time()
+
+      with self.timer.time("epoch.train"):
+        result = self._train_epoch(epoch)
+      for key, val in result.items():
+        if np.isscalar(val):
+          self.writer.add_scalar(key, val, epoch)
+
+      with self.timer.time("epoch.valid"):
+        val_log = self._valid_epoch(epoch, sets="continuous_eval")
+      result.update(val_log)
+
+      log = {"epoch": epoch}
+      for key, value in result.items():
+        if key == "metrics":
+          for ds_name, ds_metrics in value.items():
+            for m_type, m_dict in ds_metrics.items():
+              for m_name, m_value in m_dict.items():
+                log[f"{ds_name}/{m_type}/{m_name}"] = m_value
+        else:
+          log[key] = value
+
+      best = False
+      if self.mnt_mode in ("min", "max"):
+        try:
+          lower = log[self.mnt_metric] <= self.mnt_best
+          higher = log[self.mnt_metric] >= self.mnt_best
+          improved = ((self.mnt_mode == "min" and lower)
+                      or (self.mnt_mode == "max" and higher))
+        except KeyError:
+          logger.warning("Metric %s not found; monitoring disabled",
+                         self.mnt_metric)
+          self.mnt_mode = "off"
+          improved, not_improved_count = False, 0
+        if improved:
+          self.mnt_best = log[self.mnt_metric]
+          not_improved_count = 0
+          best = True
+        else:
+          not_improved_count += 1
+        if not_improved_count > self.early_stop:
+          logger.info("No improvement for %s epochs; stopping",
+                      self.early_stop)
+          break
+
+      # 'save_best' decides whether an off-period save happens at all; the
+      # trained_model copy itself follows 'best' (base/base_trainer.py:181-193
+      # ordering — monitor='max epoch' refreshes trained_model every epoch).
+      save_best = best and getattr(self, "mnt_metric", None) != "epoch"
+      if self.mnt_mode == "given_epoch" and epoch == self.given_epoch:
+        save_best = True
+        best = True
+
+      with self.timer.time("epoch.checkpoint"):
+        if epoch < self.skip_first_n_saves:
+          logger.info("Skipping ckpt save at epoch %d < %d", epoch,
+                      self.skip_first_n_saves)
+        elif epoch % self.save_period == 0 or save_best:
+          self._save_checkpoint(epoch, save_best=best)
+        if epoch > self.num_keep_ckpts:
+          ckpt_lib.purge_stale_checkpoints(self.exp_dir, self.num_keep_ckpts)
+
+      self.timer.update("epoch.total", time.time() - epoch_start)
+      for key, entry in self.timer.dic.items():
+        log[f"timer.{key}.sum"] = entry["sum"]
+        self.writer.add_scalar(f"timer_epoch/{key}", entry["sum"], epoch)
+      self.writer.add_text("exp_dir", str(self.exp_dir), epoch)
+      self.timer.reset()
+
+      log["mnt_best"] = self.mnt_best
+      log["not_improved_count"] = not_improved_count
+      self.writer.add_scalar("mnt_best", self.mnt_best, epoch)
+
+      for name, value in log.items():
+        if "/cols" in name:
+          continue
+        (logger.debug if "timer." in name else logger.info)(
+            " %-30s: %s", name, value)
+      update_perf_log({k: v for k, v in log.items()
+                       if not k.endswith("cols")}, self.perf_log_path)
+
+  def _select_train_set(self, epoch):
+    """Curriculum: first train set whose until_epoch >= epoch
+    (trainer/trainer.py:137-143)."""
+    i = 0
+    sets = self.data_loaders["train_sets"]
+    while sets[i].until_epoch < epoch:
+      i += 1
+    return sets[i]
+
+  def _train_epoch(self, epoch):
+    if epoch == 0:
+      # Eval-only baseline epoch (trainer/trainer.py:120-130).
+      return {"loss": 0, "learning_rate": self.lr_schedule(0),
+              "n_samples": self.n_samples, "n_steps": self.n_steps}
+
+    entry = self._select_train_set(epoch)
+    loader, dataset = entry["loader"], entry["dataset"]
+    batch_size, n_pairs = entry.batch_size, entry.n_pairs
+    max_batches = int(self.max_samples_per_epoch / n_pairs / batch_size)
+    batches_per_epoch = min(len(loader), max_batches)
+    log_step = max(1, int(np.sqrt(batch_size)))
+    # StepLR steps at end of each epoch; epoch e uses rate decayed e-1
+    # times (torch calls get_lr before step()).
+    epoch_lr = self.lr_schedule(epoch - 1)
+
+    total_loss = 0.0
+    data_start = time.time()
+    for batch_idx, batch in enumerate(loader):
+      if (batch_idx + 1) * batch_size * n_pairs > self.max_samples_per_epoch:
+        break
+      self.timer.update("train_batch.data_loading", time.time() - data_start)
+
+      self.n_samples += batch_size * n_pairs
+      self.n_steps += 1
+      lr = epoch_lr * self.warmup(self.n_steps - 1)
+
+      step_start = time.time()
+      self.rng, step_rng = jax.random.split(self.rng)
+      self.params, self.batch_stats, self.opt_state, loss = self.train_step(
+          self.params, self.batch_stats, self.opt_state,
+          model_batch(batch), lr, step_rng)
+      loss_value = float(loss)
+      total_loss += loss_value
+      self.timer.update("train_batch.step", time.time() - step_start)
+      self.timer.update("train_batch.total", time.time() - data_start)
+
+      if batch_idx % log_step == 0:
+        bt = self.timer.dic["train_batch.total"]["val"]
+        logger.info("Train Epoch: %d [%d/%d] Loss: %.6f batch_time=%.5f",
+                    epoch, batch_idx + 1, batches_per_epoch, loss_value, bt)
+      data_start = time.time()
+      if batch_idx + 1 >= batches_per_epoch:
+        break
+
+    return {"loss": total_loss / max(batches_per_epoch, 1),
+            "learning_rate": epoch_lr,
+            "n_samples": self.n_samples, "n_steps": self.n_steps}
+
+  # ------------------------------------------------------------------
+  # Eval
+  # ------------------------------------------------------------------
+  def _get_embeddings(self, loader):
+    """Accumulate per-modality embeddings over an eval set
+    (trainer/trainer.py:286-370)."""
+    vid_embds, text_embds = [], []
+    vid_weights, text_weights = [], []
+    query_masks, raw_captions, paths = [], [], []
+    data_start = time.time()
+    mesh_n = int(np.prod(self.mesh.devices.shape)) if self.mesh else 1
+    for batch in loader:
+      self.timer.update("valid_batch.data_loading", time.time() - data_start)
+      step_start = time.time()
+      padded, n = pad_batch_to_multiple(model_batch(batch), mesh_n)
+      out = self.embed_step(self.params, self.batch_stats, padded)
+      vid_embds.append(out["vid_embds"][:n])
+      text_embds.append(out["text_embds"][:n])
+      vid_weights.append(out["vid_weights"][:n])
+      text_weights.append(out["text_weights"][:n])
+      query_masks.append(np.asarray(batch["query_masks"]))
+      raw_captions.extend(batch.get("raw_captions",
+                                    [None] * len(batch["query_masks"])))
+      paths.extend(batch.get("paths", [""] * len(batch["query_masks"])))
+      self.timer.update("valid_batch.forward", time.time() - step_start)
+      data_start = time.time()
+    return {
+        "vid_embds": jnp.concatenate(vid_embds, 0),
+        "text_embds": jnp.concatenate(text_embds, 0),
+        "vid_weights": jnp.concatenate(vid_weights, 0),
+        "text_weights": jnp.concatenate(text_weights, 0),
+        "query_masks": np.concatenate(query_masks, 0),
+        "raw_captions": raw_captions,
+        "paths": paths,
+    }
+
+  def _valid_epoch(self, epoch=None, sets="continuous_eval"):
+    result = {"metrics": {}}
+    entries = self.data_loaders.get(f"{sets}_sets", [])
+    for entry in entries:
+      loader, dataset = entry["loader"], entry["dataset"]
+      dataset_name = dataset.dataset_name
+      with self.timer.time("valid.embds"):
+        embds = self._get_embeddings(loader)
+
+      with self.timer.time("valid.conf_mat"):
+        b, k, m, d = embds["text_embds"].shape
+        sims_dev = similarity_ops.moe_similarity(
+            embds["text_embds"].reshape(b * k, m, d),
+            embds["vid_embds"],
+            embds["text_weights"].reshape(b * k, m),
+            embds["vid_weights"],
+            merge="indep", num_caps=k)
+        sims = np.asarray(sims_dev)
+      query_masks = embds["query_masks"]
+
+      parts = dataset_name.split("_")
+      ds_base, cut_name, split_name = parts[0], parts[1], parts[2]
+
+      if sets == "final_eval":
+        if cut_name == "c" and split_name in ("test1", "test2"):
+          public = ("public_server_val" if split_name == "test1"
+                    else "public_server_test")
+          pred_path = self.exp_dir / f"{ds_base}-{public}-predictions.csv"
+          np.savetxt(pred_path,
+                     compress_predictions(query_masks, sims),
+                     delimiter=",", fmt="%d")
+          logger.info("Saved predictions to %s", pred_path)
+        sims_path = self.exp_dir / f"{ds_base}-{split_name}-sims.npy"
+        np.save(sims_path, {"sims": sims, "query_masks": query_masks})
+        logger.info("Saved similarity matrix to %s", sims_path)
+
+      nested = {}
+      with self.timer.time("valid.metrics"):
+        for name, fn in self.metrics:
+          nested[name] = fn(sims, query_masks=query_masks,
+                            device=self.device_metrics)
+          for key, value in nested[name].items():
+            if key != "cols":
+              self.writer.add_scalar(f"{dataset_name}/{name}/{key}",
+                                     value, epoch)
+      result["metrics"][dataset_name] = nested
+
+      if self.visualizer is not None:
+        with self.timer.time("valid.visu"):
+          self.visualizer.visualize_ranking(
+              sims=sims, query_masks=query_masks, epoch=epoch,
+              meta={"paths": embds["paths"],
+                    "raw_captions": embds["raw_captions"],
+                    "vid_weights": np.asarray(embds["vid_weights"]),
+                    "text_weights": np.asarray(
+                        embds["text_weights"]).reshape(b * k, m)},
+              nested_metrics=nested, modalities=self.modalities,
+              subdir_name=f"{split_name}_{sets}", sets=sets,
+              tokenizer=self.tokenizer)
+    return result
+
+  def evaluate(self):
+    """Final eval: load best ckpt, run final_eval sets, write artifacts
+    (base/base_trainer.py:244-297)."""
+    best = self.exp_dir / "trained_model.msgpack"
+    if best.exists():
+      self._resume_checkpoint(best)
+    else:
+      logger.info("No best checkpoint at %s; evaluating current weights",
+                  best)
+    final = self._valid_epoch(epoch=self.epoch, sets="final_eval")
+
+    log = {}
+    for ds_name, ds_metrics in final["metrics"].items():
+      log[ds_name] = {}
+      for m_type, m_dict in ds_metrics.items():
+        for m_name, m_value in m_dict.items():
+          log[ds_name][f"{m_type}/{m_name}/final_eval"] = m_value
+    for ds_name, metric_dict in log.items():
+      logger.info("%s:", ds_name)
+      for name, value in metric_dict.items():
+        if "/cols" not in name:
+          logger.info(" %-40s: %s", name, value)
+
+    results_path = self.exp_dir / "exp_results.json"
+    res = {}
+    if results_path.exists():
+      with open(results_path) as f:
+        res = json.load(f)
+    res["perfs"] = {ds: {k: v for k, v in d.items() if "/cols" not in k}
+                    for ds, d in log.items()}
+    res["checkpoint_epoch"] = self.loaded_epoch
+    with open(results_path, "w") as f:
+      json.dump(res, f, indent=4)
+
+    flag = self.exp_dir / "exp_completed_flag.txt"
+    flag.touch()
+    return final
+
+  # ------------------------------------------------------------------
+  # Checkpointing
+  # ------------------------------------------------------------------
+  def _state_dict(self):
+    state = {
+        "params": self.params,
+        "batch_stats": self.batch_stats,
+        "epoch": self.epoch,
+        "monitor_best": float(self.mnt_best),
+        "n_samples": self.n_samples,
+        "n_steps": self.n_steps,
+        "config": json.dumps(dict(self.config.raw)),
+        "arch": type(self.model).__name__,
+    }
+    if self.include_optim_in_ckpts:
+      state["opt_state"] = self.opt_state
+    return state
+
+  def _save_checkpoint(self, epoch, save_best=False):
+    ckpt_lib.save_checkpoint(self.exp_dir, self._state_dict(), epoch,
+                             save_best=save_best)
+
+  def _resume_checkpoint(self, resume_path):
+    resume_path = str(resume_path)
+    logger.info("Loading checkpoint from %s", resume_path)
+    target = self._state_dict()
+    target.setdefault("opt_state", self.opt_state)
+    raw = ckpt_lib.load_checkpoint_raw(resume_path)
+    restart = os.path.dirname(os.path.abspath(resume_path)) == str(
+        self.exp_dir.resolve())
+
+    loaded_cfg = json.loads(raw.get("config", "{}"))
+    if loaded_cfg.get("arch") != self.config.raw.get("arch"):
+      logger.warning("Architecture config differs from checkpoint")
+
+    raw["params"] = ckpt_lib.match_checkpoint_to_model(
+        raw.get("params", {}), self.params)
+
+    if restart:
+      self.params = jax.tree_util.tree_map(
+          lambda t, l: jnp.asarray(l), self.params,
+          ckpt_lib.merge_params(self.params, raw["params"]))
+      if raw.get("batch_stats"):
+        self.batch_stats = ckpt_lib.merge_params(self.batch_stats,
+                                                 raw["batch_stats"])
+      if "opt_state" in raw and self.include_optim_in_ckpts:
+        same_optim = (loaded_cfg.get("optimizer", {}).get("type")
+                      == self.config.raw.get("optimizer", {}).get("type"))
+        if same_optim:
+          from flax import serialization
+          self.opt_state = serialization.from_state_dict(
+              self.opt_state, raw["opt_state"])
+        else:
+          logger.warning("Optimizer type changed; not resuming its state")
+      self.loaded_epoch = int(raw.get("epoch", 0))
+      self.epoch = self.loaded_epoch
+      self.start_epoch = self.loaded_epoch + 1
+      self.n_samples = int(raw.get("n_samples", 0))
+      self.n_steps = int(raw.get("n_steps", 0))
+      self.mnt_best = float(raw.get("monitor_best", self.mnt_best))
+    else:
+      # Warm start: non-strict load, counters reset
+      # (base/base_trainer.py:452-462).
+      self.params = ckpt_lib.merge_params(self.params, raw["params"])
+      if raw.get("batch_stats"):
+        self.batch_stats = ckpt_lib.merge_params(self.batch_stats,
+                                                 raw["batch_stats"])
+      self.loaded_epoch = int(raw.get("epoch", 0))
+      self.epoch = 0
+      self.start_epoch = 0
+      self.n_samples = 0
+      self.n_steps = 0
+      ckpt_lib.write_info(self.exp_dir, resume_path, self.loaded_epoch)
+    logger.info("Ckpt loaded at epoch %s", raw.get("epoch", "?"))

@@ -1,0 +1,135 @@
+"""Metrics + loss parity tests against closed-form / brute-force oracles."""
+
+import numpy as np
+import pytest
+
+from mmt_tpu.ops import ranking
+from mmt_tpu.train import losses, metrics
+
+
+# ---------------------------------------------------------------------------
+# metrics
+# ---------------------------------------------------------------------------
+
+
+def brute_force_t2v_ranks(sims):
+  """Sort-based tie-averaged ranks (the reference's sorted-dists method)."""
+  nq, nv = sims.shape
+  qu = nq // nv
+  dists = -sims
+  sorted_dists = np.sort(dists, axis=1)
+  ranks = np.empty(nq)
+  for q in range(nq):
+    gt = dists[q, q // qu]
+    pos = np.where(sorted_dists[q] - gt == 0)[0]
+    ranks[q] = pos.mean()
+  return ranks
+
+
+@pytest.mark.parametrize("caps", [1, 2])
+def test_t2v_ranks_match_sort_method(rng, caps):
+  nv = 20
+  sims = rng.randn(nv * caps, nv).astype(np.float32)
+  # inject some exact ties
+  sims[3] = 0.0
+  sims[5, :10] = sims[5, 0]
+  want = brute_force_t2v_ranks(sims)
+  got_np = metrics._t2v_ranks_np(sims)
+  got_dev = np.asarray(ranking.t2v_ranks(sims))
+  np.testing.assert_allclose(got_np, want)
+  np.testing.assert_allclose(got_dev, want, atol=1e-5)
+
+
+def test_t2v_metrics_identity():
+  """Perfect diagonal similarity -> R@1 = 100, MedR = 1."""
+  sims = np.eye(10, dtype=np.float32)
+  m = metrics.t2v_metrics(sims)
+  assert m["R1"] == 100.0
+  assert m["MedR"] == 1.0
+  assert m["MeanR"] == 1.0
+
+
+def test_t2v_all_zero_ties():
+  """Constant sims: tie-averaged rank = (V-1)/2 for everyone (not perfect)."""
+  nv = 10
+  sims = np.zeros((nv, nv), np.float32)
+  m = metrics.t2v_metrics(sims)
+  assert m["R1"] == 0.0  # averaging tie-break cannot give a perfect score
+  np.testing.assert_allclose(m["MeanR"], (nv - 1) / 2 + 1)
+
+
+def test_t2v_query_mask(rng):
+  caps = 2
+  nv = 8
+  sims = rng.randn(nv * caps, nv).astype(np.float32)
+  masks = np.ones((nv, caps))
+  masks[0, 1] = 0
+  masks[3, 1] = 0
+  m = metrics.t2v_metrics(sims, query_masks=masks)
+  assert len(m["cols"]) == nv * caps - 2
+
+
+@pytest.mark.parametrize("device", [False, True])
+def test_v2t_metrics(rng, device):
+  caps = 3
+  nv = 12
+  sims = rng.randn(nv * caps, nv).astype(np.float32)
+  masks = np.ones((nv, caps))
+  masks[2, 2] = 0
+  m = metrics.v2t_metrics(sims, query_masks=masks, device=device)
+  assert len(m["cols"]) == nv
+  base = metrics.v2t_metrics(sims, query_masks=masks, device=False)
+  np.testing.assert_allclose(m["cols"], base["cols"])
+
+
+def test_v2t_min_over_captions():
+  """v2t rank is the best rank among the video's own captions."""
+  nv, caps = 3, 2
+  sims = np.full((nv * caps, nv), -1.0, np.float32)
+  # video 0: caption 1 is its best match (rank 0), caption 0 is bad.
+  sims[0, 0] = -5.0
+  sims[1, 0] = 5.0
+  m = metrics.v2t_metrics(sims)
+  assert m["cols"][0] == 0
+
+
+# ---------------------------------------------------------------------------
+# losses
+# ---------------------------------------------------------------------------
+
+
+def reference_max_margin(x, margin, fix_norm):
+  """Direct transcription of model/loss.py:38-65."""
+  n = x.shape[0]
+  x1 = np.repeat(np.diag(x)[:, None], n, 1).reshape(-1, 1)
+  x1 = np.concatenate([x1, x1], 0)
+  x2 = np.concatenate([x.reshape(-1, 1), x.T.reshape(-1, 1)], 0)
+  terms = np.maximum(0, margin - (x1 - x2))
+  if fix_norm:
+    keep = (1 - np.eye(n)).reshape(-1, 1)
+    keep = np.concatenate([keep, (1 - np.eye(n)).T.reshape(-1, 1)], 0)
+    terms = terms[keep.flatten() > 0]
+  return terms.mean()
+
+
+@pytest.mark.parametrize("fix_norm", [True, False])
+def test_max_margin_matches_reference(rng, fix_norm):
+  x = rng.randn(16, 16).astype(np.float32)
+  loss_fn = losses.max_margin_ranking_loss(margin=0.05, fix_norm=fix_norm)
+  got = float(loss_fn(x))
+  want = reference_max_margin(x, 0.05, fix_norm)
+  np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_infonce_matches_softmax_ce(rng):
+  x = rng.randn(8, 8).astype(np.float32)
+  loss_fn = losses.info_nce_loss()
+  got = float(loss_fn(x))
+
+  def ce(mat):
+    e = np.exp(mat - mat.max(-1, keepdims=True))
+    p = e / e.sum(-1, keepdims=True)
+    return -np.mean(np.log(p[np.arange(len(mat)), np.arange(len(mat))]))
+
+  want = ce(x) + ce(x.T)
+  np.testing.assert_allclose(got, want, rtol=1e-5)

@@ -1,0 +1,76 @@
+"""Fused MoE similarity vs a direct transcription of the reference math."""
+
+import numpy as np
+import pytest
+
+from mmt_tpu.ops import similarity
+
+
+def reference_moe_similarity(text_embds, vid_embds, text_weights, vid_weights,
+                             merge="avg", num_caps=1):
+  """Direct numpy transcription of model/model.py:789-837 (loop over M)."""
+  q, m, d = text_embds.shape
+  v = vid_embds.shape[0]
+  moe = vid_weights[None, :, :] * text_weights[:, None, :]   # [Q, V, M]
+  norm = moe.sum(-1, keepdims=True)
+  norm[norm == 0] = 1e-5
+  moe = moe / norm
+  sims = np.zeros((q, v))
+  for i in range(m):
+    sims += moe[:, :, i] * (text_embds[:, i] @ vid_embds[:, i].T)
+  if num_caps > 1 and merge == "avg":
+    sims = sims.reshape(q // num_caps, num_caps, v).mean(1)
+  return sims
+
+
+@pytest.mark.parametrize("merge,num_caps", [("avg", 1), ("avg", 4),
+                                            ("indep", 4)])
+def test_fused_matches_reference_loop(rng, merge, num_caps):
+  b, v, m, d = 8, 6, 3, 16
+  q = b * num_caps
+  text = rng.randn(q, m, d).astype(np.float32)
+  vid = rng.randn(v, m, d).astype(np.float32)
+  tw = np.abs(rng.rand(q, m)).astype(np.float32)
+  vw = np.abs(rng.rand(v, m)).astype(np.float32)
+  tw /= tw.sum(-1, keepdims=True)
+  vw /= vw.sum(-1, keepdims=True)
+
+  got = np.asarray(similarity.moe_similarity(text, vid, tw, vw,
+                                             merge=merge, num_caps=num_caps))
+  want = reference_moe_similarity(text, vid, tw, vw, merge=merge,
+                                  num_caps=num_caps)
+  np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_zero_weight_guard(rng):
+  """All-zero modality weights must hit the eps guard, not divide by zero."""
+  q, v, m, d = 4, 4, 2, 8
+  text = rng.randn(q, m, d).astype(np.float32)
+  vid = rng.randn(v, m, d).astype(np.float32)
+  tw = np.ones((q, m), np.float32)
+  vw = np.zeros((v, m), np.float32)  # missing modalities everywhere
+  got = np.asarray(similarity.moe_similarity(text, vid, tw, vw, merge="indep",
+                                             num_caps=1))
+  assert np.all(np.isfinite(got))
+  want = reference_moe_similarity(text, vid, tw, vw, merge="indep", num_caps=1)
+  np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_kernel_interpret(rng):
+  """Pallas kernel path (interpret mode on CPU) matches the XLA path."""
+  import jax
+  from jax.experimental import pallas as pl  # noqa: F401
+
+  q, v, m, d = 16, 24, 3, 32
+  text = rng.randn(q, m, d).astype(np.float32)
+  vid = rng.randn(v, m, d).astype(np.float32)
+  tw = np.abs(rng.rand(q, m)).astype(np.float32)
+  vw = np.abs(rng.rand(v, m)).astype(np.float32)
+
+  import jax.numpy as jnp
+  from jax.experimental.pallas import tpu as pltpu
+  with pltpu.force_tpu_interpret_mode():
+    got = np.asarray(similarity._pallas_moe_similarity(
+        jnp.asarray(text), jnp.asarray(vid), jnp.asarray(tw), jnp.asarray(vw)))
+  want = np.asarray(similarity._xla_moe_similarity(text, vid, tw, vw))
+  np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

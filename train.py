@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""CLI entry point.
+
+Same surface as the reference (train.py:151-181):
+
+  python train.py --config configs_pub/eccv20/X.json [--resume EXPDIR]
+                  [--load_checkpoint CKPT] [--device IDS] [--only_eval] [-v]
+
+Builds tokenizer -> data loaders -> model -> loss -> optimizer ->
+scheduler -> visualizer -> trainer, then trains and runs the final eval
+(train.py:43-148 flow), on TPU via jitted steps and an optional data mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import random
+import sys
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def build_data_loaders(config, expert_dims, tokenizer):
+  from mmt_tpu.registry import build
+  import mmt_tpu.data.loader  # noqa: F401 (registers ExpertDataLoader)
+
+  raw_input_dims = expert_dims
+  loaded_data = {}
+  loaders = {}
+  for key, training in (("train_sets", True), ("continuous_eval_sets", False),
+                        ("final_eval_sets", False)):
+    loaders[key] = [
+        build("data_loader", spec, raw_input_dims=raw_input_dims,
+              training=training, tokenizer=tokenizer, loaded_data=loaded_data,
+              cross_seed=config.cross_seed)
+        for spec in config.get(key, [])
+    ]
+  return loaders
+
+
+def frozen_param_mask(params, txt_agg: str, txt_inp: str):
+  """Freeze mask implementing the bertfrz modes (model/model.py:164-193).
+
+  Returns a bool pytree (True = frozen) or None when nothing is frozen.
+  """
+  import jax
+  from mmt_tpu.config import TxtAggSpec
+
+  spec = TxtAggSpec.parse(txt_agg) if txt_agg[:4] == "bert" else None
+  frozen_paths = []
+  if spec is not None and spec.state == "frz":
+    if spec.freeze_until is None:
+      frozen_paths.append(("txt_bert", "encoder"))
+    else:
+      for i in range(spec.freeze_until):
+        frozen_paths.append(("txt_bert", "encoder", f"layer_{i}"))
+  if txt_inp == "bertfrz":
+    for sub in ("word_embeddings", "position_embeddings",
+                "token_type_embeddings", "embeddings_ln"):
+      frozen_paths.append(("txt_bert", sub))
+    frozen_paths.append(("word_embeddings",))  # WeTokenizer path
+  if not frozen_paths:
+    return None
+
+  def is_frozen(path_keys):
+    keys = tuple(k.key for k in path_keys)
+    return any(keys[:len(p)] == p for p in frozen_paths)
+
+  return jax.tree_util.tree_map_with_path(
+      lambda path, _: is_frozen(path), params)
+
+
+def train(config):
+  import jax
+
+  from mmt_tpu.experts import compute_dims
+  from mmt_tpu.models.cenet import CENet
+  from mmt_tpu.registry import build, get
+  from mmt_tpu.tokenization import create_tokenizer
+  from mmt_tpu.train.optim import build_optimizer, step_lr
+  from mmt_tpu.train.trainer import Trainer
+  import mmt_tpu.train.losses    # noqa: F401 (registry)
+  import mmt_tpu.train.metrics   # noqa: F401 (registry)
+  import mmt_tpu.utils.visualizer  # noqa: F401 (registry)
+
+  expert_dims = compute_dims(config.raw)
+  logger.debug("experts: %s", expert_dims)
+
+  # Seeds (train.py:53-59): data-pipeline randomness is host-side numpy;
+  # model randomness flows through jax.random below.
+  seed = config.seed
+  random.seed(seed)
+  np.random.seed(seed)
+
+  arch_args = dict(config.arch_args)
+  tokenizer = create_tokenizer(arch_args.get("txt_agg", "bertftn"))
+
+  data_loaders = build_data_loaders(config, expert_dims, tokenizer)
+
+  model_kwargs = {k: v for k, v in arch_args.items()
+                  if k not in ("vocab_size",)}
+  if tokenizer is not None and hasattr(tokenizer, "vocab_size"):
+    geom = dict(model_kwargs.get("text_bert_geometry") or {})
+    if arch_args.get("txt_agg", "bert")[:4] != "bert":
+      model_kwargs.setdefault("we_vocab_size", tokenizer.vocab_size)
+    elif "vocab_size" in geom or os.environ.get("MMT_TPU_BERT_VOCAB"):
+      geom.setdefault("vocab_size", tokenizer.vocab_size)
+      model_kwargs["text_bert_geometry"] = geom
+  model = CENet(expert_dims=expert_dims, **model_kwargs)
+
+  loss_fn = build("loss", config["loss"])
+  metrics = [(name, get("metric", name)) for name in config["metrics"]]
+
+  # Optimizer with freeze mask; mask needs initialized params, so the
+  # trainer resolves it lazily via a callback-free two-phase init: build
+  # with no mask, then rebuild if a mask is needed.
+  tx, base_lr = build_optimizer(config["optimizer"])
+  sched_args = config.get("lr_scheduler", {"args": {}}).get("args", {})
+  lr_schedule = step_lr(base_lr, sched_args.get("step_size", 1),
+                        sched_args.get("gamma", 1.0))
+
+  visualizer = None
+  if "visualizer" in config.raw:
+    visualizer = build("visualizer", config["visualizer"],
+                       exp_name=config.exper_name, web_dirs=config.web_dirs)
+
+  trainer = Trainer(
+      model=model, loss_fn=loss_fn, metrics=metrics, tx=tx, base_lr=base_lr,
+      config=config, data_loaders=data_loaders, lr_schedule=lr_schedule,
+      visualizer=visualizer,
+      skip_first_n_saves=config["trainer"].get("skip_first_n_saves", 0),
+      include_optim_in_ckpts=config["trainer"].get("include_optim_in_ckpts",
+                                                   False),
+      expert_dims=expert_dims,
+      num_keep_ckpts=config["trainer"].get("num_keep_ckpts", 1),
+      tokenizer=tokenizer,
+      warmup_iterations=config["trainer"].get("warmup_iterations", -1),
+      init_rng=jax.random.PRNGKey(seed))
+
+  # Apply the freeze mask now that params exist.
+  mask = frozen_param_mask(trainer.params, arch_args.get("txt_agg", ""),
+                           arch_args.get("txt_inp", ""))
+  if mask is not None:
+    tx, _ = build_optimizer(config["optimizer"], frozen_mask=mask)
+    trainer.tx = tx
+    trainer.opt_state = tx.init(trainer.params)
+
+  if not config.only_eval:
+    trainer.train()
+  trainer.evaluate()
+  return trainer
+
+
+def main(argv=None):
+  parser = argparse.ArgumentParser(description="mmt_tpu trainer")
+  parser.add_argument("--config", default=None, type=str,
+                      help="config file path")
+  parser.add_argument("--resume", default=None, type=str,
+                      help="path to the experiment dir to resume")
+  parser.add_argument("--load_checkpoint", default=None, type=str,
+                      help="checkpoint path for a warm start")
+  parser.add_argument("--device", default=None, type=str,
+                      help="device indices (accepted for CLI parity)")
+  parser.add_argument("--only_eval", action="store_true",
+                      help="skip training; evaluate only")
+  parser.add_argument("-v", "--verbose", action="store_true")
+  args = parser.parse_args(argv)
+
+  from mmt_tpu import config as config_lib
+  config = config_lib.from_args(args)
+
+  level = logging.DEBUG if args.verbose else logging.INFO
+  logging.basicConfig(
+      level=os.environ.get("LOGLEVEL", level),
+      format="%(message)s",
+      handlers=[logging.FileHandler(config.save_dir / "log.txt"),
+                logging.StreamHandler()])
+  logger.info("Experiment directory: %s", config.save_dir)
+
+  epochs = config["trainer"]["epochs"]
+  save_period = config["trainer"].get("save_period", 1)
+  assert epochs >= save_period, (
+      f"epochs ({epochs}) must be >= save_period ({save_period}), "
+      "otherwise no checkpoint would ever be written")
+
+  return train(config)
+
+
+if __name__ == "__main__":
+  main()
