@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Headline benchmark: MSRVTT-scale 1k x 1k retrieval eval on one chip.
+
+Measures the full on-device eval path of the flagship model (7-expert
+CENet, 512-wide video BERT, bert-base-cased text tower — the
+MSRVTT_jsfusion geometry): embed 1000 captions + 1000 videos, build the
+fused MoE similarity matrix, compute tie-averaged t2v retrieval ranks.
+
+North star (BASELINE.json / SURVEY.md §6): full 1k x 1k eval in < 1 s on
+a v4-8 (4 chips) == 250 videos/s/chip.  vs_baseline = value / 250.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "videos/s/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_VIDEOS = int(os.environ.get("BENCH_VIDEOS", "1000"))
+BATCH = int(os.environ.get("BENCH_BATCH", "100"))
+REPS = int(os.environ.get("BENCH_REPS", "3"))
+BASELINE_VIDEOS_PER_SEC_PER_CHIP = 250.0
+
+
+def main():
+  import jax
+  import jax.numpy as jnp
+
+  from __graft_entry__ import _flagship_model_and_batch
+  from mmt_tpu.ops import ranking, similarity
+
+  use_bf16 = os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
+  use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+  if use_pallas and jax.default_backend() == "tpu":
+    similarity.use_pallas(True)
+
+  model, batch = _flagship_model_and_batch(
+      batch_size=BATCH,
+      compute_dtype=jnp.bfloat16 if use_bf16 else None)
+  variables = model.init(
+      {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+      batch, train=False)
+
+  @jax.jit
+  def embed(variables, batch):
+    out = model.apply(variables, batch, train=False)
+    b, k, m, d = out["text_embds"].shape
+    return (out["text_embds"].reshape(b * k, m, d), out["vid_embds"],
+            out["text_weights"].reshape(b * k, m), out["vid_weights"])
+
+  @jax.jit
+  def score(text_e, vid_e, text_w, vid_w):
+    sims = similarity.moe_similarity(text_e, vid_e, text_w, vid_w,
+                                     merge="indep", num_caps=1)
+    return sims, ranking.t2v_ranks(sims)
+
+  n_batches = N_VIDEOS // BATCH
+  # Distinct batches (defeats any caching along the dispatch path).
+  rng = np.random.RandomState(1)
+  device_batches = []
+  for i in range(n_batches):
+    b = dict(batch)
+    b["token_ids"] = ((batch["token_ids"]
+                       + rng.randint(1, 1000)) % 28996).astype(np.int32)
+    device_batches.append(jax.device_put(b))
+
+  def run_eval():
+    parts = [embed(variables, b) for b in device_batches]
+    text_e = jnp.concatenate([p[0] for p in parts], 0)
+    vid_e = jnp.concatenate([p[1] for p in parts], 0)
+    text_w = jnp.concatenate([p[2] for p in parts], 0)
+    vid_w = jnp.concatenate([p[3] for p in parts], 0)
+    sims, ranks = score(text_e, vid_e, text_w, vid_w)
+    # Force a scalar host read: through the remote-dispatch tunnel,
+    # block_until_ready alone is not a reliable completion barrier.
+    return float(ranks.sum())
+
+  # Warmup / compile.
+  checksum = run_eval()
+
+  times = []
+  for _ in range(REPS):
+    tic = time.perf_counter()
+    got = run_eval()
+    times.append(time.perf_counter() - tic)
+  latency = min(times)
+  videos_per_sec = N_VIDEOS / latency
+
+  result = {
+      "metric": "msrvtt1k_eval_videos_per_sec_per_chip",
+      "value": round(videos_per_sec, 2),
+      "unit": "videos/s/chip",
+      "vs_baseline": round(videos_per_sec / BASELINE_VIDEOS_PER_SEC_PER_CHIP,
+                           3),
+      "latency_s_1kx1k": round(latency, 4),
+      "backend": jax.default_backend(),
+      "dtype": "bf16" if use_bf16 else "fp32",
+      "pallas_similarity": bool(use_pallas
+                                and jax.default_backend() == "tpu"),
+  }
+  print(json.dumps(result))
+
+
+if __name__ == "__main__":
+  main()

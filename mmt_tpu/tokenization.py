@@ -183,7 +183,9 @@ class WordPieceTokenizer:
     # The native path implements the ASCII subset of BERT basic
     # tokenization; non-ASCII text takes the full-Unicode Python path.
     if self._native is not None and text.isascii():
-      return self._native.tokenize(text)
+      native = self._native.tokenize(text)
+      if native is not None:
+        return native
     out: List[str] = []
     for tok in self.basic.tokenize(text):
       out.extend(self.wordpiece.tokenize(tok))
@@ -228,11 +230,11 @@ class _NativeWordPiece:
     if not self._handle:
       raise RuntimeError("wp_create failed")
 
-  def tokenize(self, text: str) -> List[str]:
+  def tokenize(self, text: str) -> Optional[List[str]]:
     buf = ctypes.create_string_buffer(4 * len(text.encode()) + 4096)
     n = self._lib.wp_tokenize(self._handle, text.encode(), buf, len(buf))
     if n < 0:
-      raise RuntimeError("wp_tokenize failed")
+      return None  # non-ASCII or overflow: caller falls back to Python
     raw = buf.value.decode("utf-8", errors="replace")
     return raw.split("\x01") if raw else []
 
