@@ -129,6 +129,23 @@ class Trainer:
     self.perf_log_path = self.exp_dir / "perf_log.txt"
     self.timer = AverageMeter()
     self.writer = self._make_writer(config.log_dir)
+    from mmt_tpu.utils.hparams import get_hparams_from_config
+    self.hparams = get_hparams_from_config(config)
+
+    # Debug & observability hooks (SURVEY.md §5): jax-level NaN trapping
+    # replaces the reference's scattered ipdb NaN traps; profiler traces
+    # replace its wall-clock-only phase timers at device level.
+    if (cfg_trainer.get("debug_nans")
+        or os.environ.get("MMT_TPU_DEBUG_NANS")):
+      jax.config.update("jax_debug_nans", True)
+      logger.info("jax_debug_nans enabled")
+    self.profile_dir = (cfg_trainer.get("profile_dir")
+                        or os.environ.get("MMT_TPU_PROFILE"))
+
+    # Preemption-safe checkpointing: SIGTERM triggers an atomic save
+    # before exit (the reference has no failure handling; its recovery is
+    # manual --resume).
+    self._install_preemption_handler()
 
     self.start_epoch = 0
     self.epoch = 0
@@ -159,6 +176,22 @@ class Trainer:
 
     if config.resume is not None:
       self._resume_checkpoint(config.resume)
+
+  # ------------------------------------------------------------------
+  def _install_preemption_handler(self):
+    import signal
+
+    def handler(signum, frame):
+      logger.warning("SIGTERM received: saving preemption checkpoint")
+      try:
+        self._save_checkpoint(self.epoch, save_best=False)
+      finally:
+        raise SystemExit(143)
+
+    try:
+      signal.signal(signal.SIGTERM, handler)
+    except ValueError:
+      pass  # not the main thread (e.g. under some test runners)
 
   # ------------------------------------------------------------------
   def _make_writer(self, log_dir):
@@ -253,8 +286,12 @@ class Trainer:
       self.epoch = epoch
       epoch_start = time.time()
 
+      from mmt_tpu.utils.timing import profiler_trace
       with self.timer.time("epoch.train"):
-        result = self._train_epoch(epoch)
+        # Capture a device trace of the first trained epoch when asked.
+        with profiler_trace(self.profile_dir,
+                            enabled=bool(self.profile_dir) and epoch == 1):
+          result = self._train_epoch(epoch)
       for key, val in result.items():
         if np.isscalar(val):
           self.writer.add_scalar(key, val, epoch)
@@ -323,6 +360,16 @@ class Trainer:
       log["mnt_best"] = self.mnt_best
       log["not_improved_count"] = not_improved_count
       self.writer.add_scalar("mnt_best", self.mnt_best, epoch)
+      try:
+        acc_key = getattr(self, "mnt_metric", None)
+        self.writer.add_hparams(
+            self.hparams,
+            {"hparam/accuracy": log.get(acc_key, 0),
+             "hparam/mnt_best": self.mnt_best,
+             "hparam/epoch": epoch},
+            name="hparams")
+      except Exception:  # pragma: no cover - tensorboardX quirk tolerance
+        pass
 
       for name, value in log.items():
         if "/cols" in name:
