@@ -96,6 +96,47 @@ def generate(root, num_videos: int = 32, num_test: int = 8,
   # Split lists (MSRVTT jsfusion-style names).
   test_vids = vids[:num_test]
   train_vids = vids[num_test:]
+  if cut == "c":
+    # Challenge layout: aggregated pickles + public-server split lists
+    # (the reference's cut 'c' path, base/base_dataset.py:200-206).
+    import pickle
+    agg_dir = data_dir / "aggregated_feats"
+    agg_dir.mkdir(parents=True, exist_ok=True)
+    captions = {}
+    fixed_seg = {e: {} for e in experts}
+    avg_t = {e: {} for e in experts}
+    max_t = {e: {} for e in experts}
+    for vid, topic_id in zip(vids, topic_ids):
+      topic = TOPICS[topic_id]
+      caps = []
+      for _ in range(captions_per_video):
+        n_fill = rng.randint(3, 7)
+        words = [FILLER[j] for j in rng.randint(0, len(FILLER), n_fill)]
+        words.insert(rng.randint(0, n_fill + 1), topic)
+        caps.append(words)
+      captions[vid] = caps
+      for expert, dim in experts.items():
+        n = rng.randint(2, max_feats + 1)
+        feats = rng.randn(n, dim) * 0.1
+        feats[:, :16] += topic_dirs[topic_id]
+        fixed_seg[expert][vid] = feats
+        avg_t[expert][vid] = feats.mean(0, keepdims=True)
+        max_t[expert][vid] = feats.max(0, keepdims=True)
+    with open(data_dir / "raw-captions.pkl", "wb") as f:
+      pickle.dump(captions, f)
+    for expert in experts:
+      for agg, table in (("fixed_seg", fixed_seg), ("avg", avg_t),
+                         ("max", max_t)):
+        with open(agg_dir / f"{expert}-{agg}.pickle", "wb") as f:
+          pickle.dump(table[expert], f)
+    (data_dir / "train_list.txt").write_text("\n".join(train_vids) + "\n")
+    (data_dir / "val_list.txt").write_text("\n".join(test_vids) + "\n")
+    (data_dir / "public_server_val.txt").write_text(
+        "\n".join(test_vids) + "\n")
+    (data_dir / "public_server_test.txt").write_text(
+        "\n".join(test_vids) + "\n")
+    write_vocab(root / "vocab.txt")
+    return data_dir
   if cut == "jsfusion":
     (data_dir / "train_list_jsfusion.txt").write_text(
         "\n".join(train_vids) + "\n")
