@@ -266,6 +266,11 @@ def make_sample(record, tokenizer, experts: Dict[str, int],
         avg = np.zeros((1, raw_dim))
         mx = np.zeros((1, raw_dim))
       else:
+        # Parity with base/base_dataset.py:809-810: the on-disk feature
+        # width must match the registry dim for this expert.
+        assert f_sel.ndim == 2 and f_sel.shape[1] == raw_dim, (
+            f"expert {expert!r}: feature dim {f_sel.shape[1]} != "
+            f"registry dim {raw_dim}")
         avg = np.mean(f_sel, axis=0, keepdims=True)
         mx = np.max(f_sel, axis=0, keepdims=True)
         sub, sub_t, sub_ind = choose_or_pad_features(

@@ -22,7 +22,10 @@ import numpy as np
 TOPICS = [
     "cooking", "guitar", "soccer", "dancing", "surfing", "painting",
     "driving", "swimming", "running", "singing", "climbing", "skating",
-    "reading", "typing", "boxing", "fishing",
+    "reading", "typing", "boxing", "fishing", "juggling", "knitting",
+    "skiing", "rowing", "drumming", "welding", "baking", "sailing",
+    "archery", "bowling", "fencing", "karate", "sculpting", "gardening",
+    "magic", "chess",
 ]
 FILLER = [
     "a", "man", "woman", "is", "the", "with", "on", "in", "doing", "video",
@@ -64,8 +67,23 @@ def generate(root, num_videos: int = 32, num_test: int = 8,
   h5_root = root / "vid_feat_files" / "mult_h5"
 
   vids = [f"video{i:04d}" for i in range(num_videos)]
-  topic_ids = rng.randint(0, len(TOPICS), size=num_videos)
-  topic_dirs = rng.randn(len(TOPICS), 16)
+  # Topic assignment that makes retrieval learnable: test videos (the
+  # first num_test) get pairwise-distinct topics (same-topic test videos
+  # are indistinguishable), and every test topic also appears in the
+  # training split (otherwise its word embedding is never trained).
+  pool = rng.permutation(len(TOPICS))
+  n_pool = max(num_test, min(len(TOPICS), num_videos - num_test))
+  pool = pool[:n_pool]
+  topic_ids = np.empty(num_videos, dtype=int)
+  topic_ids[:num_test] = pool[:num_test]
+  topic_ids[num_test:] = pool[rng.randint(0, n_pool,
+                                          size=num_videos - num_test)]
+  # guarantee coverage: each test topic occurs at least once in training
+  for j, topic in enumerate(pool[:num_test]):
+    if num_videos - num_test > j and topic not in topic_ids[num_test:]:
+      topic_ids[num_test + j] = topic
+  sig_dims = min(64, min(experts.values()) if experts else 16)
+  topic_dirs = 2.0 * rng.randn(len(TOPICS), sig_dims)
 
   for vid, topic_id in zip(vids, topic_ids):
     topic = TOPICS[topic_id]
@@ -86,7 +104,7 @@ def generate(root, num_videos: int = 32, num_test: int = 8,
         n = rng.randint(2, max_feats + 1)
         feats = rng.randn(n, dim) * 0.1
         # topic-correlated signal in the first 16 dims
-        feats[:, :16] += topic_dirs[topic_id]
+        feats[:, :sig_dims] += topic_dirs[topic_id]
         f.create_dataset(f"features.{expert}", data=feats)
         f.create_dataset(f"features_t.{expert}",
                          data=np.stack([np.arange(n, dtype=np.float64),
@@ -118,7 +136,7 @@ def generate(root, num_videos: int = 32, num_test: int = 8,
       for expert, dim in experts.items():
         n = rng.randint(2, max_feats + 1)
         feats = rng.randn(n, dim) * 0.1
-        feats[:, :16] += topic_dirs[topic_id]
+        feats[:, :sig_dims] += topic_dirs[topic_id]
         fixed_seg[expert][vid] = feats
         avg_t[expert][vid] = feats.mean(0, keepdims=True)
         max_t[expert][vid] = feats.max(0, keepdims=True)

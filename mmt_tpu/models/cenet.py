@@ -153,10 +153,18 @@ class CENet(nn.Module):
       self.f_reason_2 = nn.Dense(self.same_dim, name="f_reason_2")
       self.video_gu = {m: C.GatedEmbeddingUnitReasoning(
           self.same_dim, name=f"video_gu_{m}") for m in mods}
-      self.coll_dropout_rate = float(
-          dict(self.vid_bert_params).get("hidden_dropout_prob", 0.1))
+      rate = float(dict(self.vid_bert_params).get("hidden_dropout_prob",
+                                                  0.1))
+      self.coll_g_dropout = nn.Dropout(rate)
+      self.coll_f_dropout = nn.Dropout(rate)
     elif self.vid_cont != "none":
       raise ValueError(f"unknown vid_cont {self.vid_cont!r}")
+
+    if self.vid_wgh == "emb" and self.vid_cont != "bert":
+      # The video MoE-weight head reads the CLS embedding, which only the
+      # transformer path produces (the reference would NameError here,
+      # model/model.py:592).
+      raise ValueError("vid_wgh='emb' requires vid_cont='bert'")
 
     # --- MoE weight heads ---
     if self.txt_wgh == "emb":
@@ -258,7 +266,7 @@ class CENet(nn.Module):
 
     # ---------------- MoE weights ----------------
     if self.vid_wgh == "nrm":
-      norms = jnp.stack([jnp.linalg.norm(experts[mod], axis=-1)
+      norms = jnp.stack([C.safe_norm(experts[mod], axis=-1)
                          for mod in mods], axis=-1)           # [B, M]
       vid_weights = norms / jnp.sum(norms, axis=-1, keepdims=True)
     elif self.vid_wgh == "emb":
@@ -384,18 +392,14 @@ class CENet(nn.Module):
           continue
         fused = jnp.concatenate([experts[mod0], experts[mod1]], axis=1)
         temp = self.g_reason_1(fused)
-        if train:
-          temp = nn.Dropout(self.coll_dropout_rate)(
-              temp, deterministic=False, rng=self.make_rng("dropout"))
+        temp = self.coll_g_dropout(temp, deterministic=not train)
         temp = self.g_reason_2(jax.nn.relu(temp))
         avail = (ind[mod0] * ind[mod1]).astype(temp.dtype)
         temp_sum = temp_sum + temp * avail[:, None]
         avail_sum = avail_sum + avail
       curr_mask = temp_sum / (avail_sum + 1e-11)[:, None]
       curr_mask = self.f_reason_1(curr_mask)
-      if train:
-        curr_mask = nn.Dropout(self.coll_dropout_rate)(
-            curr_mask, deterministic=False, rng=self.make_rng("dropout"))
+      curr_mask = self.coll_f_dropout(curr_mask, deterministic=not train)
       curr_mask = self.f_reason_2(jax.nn.relu(curr_mask))
       out[modality] = self.video_gu[modality](experts[modality], curr_mask,
                                               train=train)

@@ -22,9 +22,22 @@ import jax.numpy as jnp
 
 
 def l2_normalize(x, axis=-1, eps=1e-12):
-  """F.normalize(p=2) semantics: x / max(||x||, eps)."""
-  norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
-  return x / jnp.maximum(norm, eps)
+  """F.normalize(p=2) semantics: x / max(||x||, eps).
+
+  Implemented as sqrt(max(sum(x^2), eps^2)) so the gradient at x == 0 is
+  finite (torch defines the norm subgradient at 0 as 0; jnp.linalg.norm
+  would propagate NaN — zero vectors really occur for missing
+  modalities whose pooled features are all-zero).
+  """
+  sq = jnp.sum(x * x, axis=axis, keepdims=True)
+  norm = jnp.sqrt(jnp.maximum(sq, eps * eps))
+  return x / norm
+
+
+def safe_norm(x, axis=-1, eps=1e-12):
+  """||x|| with a finite gradient at 0 (clamped below by eps)."""
+  sq = jnp.sum(x * x, axis=axis)
+  return jnp.sqrt(jnp.maximum(sq, eps * eps))
 
 
 def l1_normalize(x, axis=-1, eps=1e-12):

@@ -76,7 +76,10 @@ def ranger_lr(learning_rate, alpha: float = 0.5, k: int = 6,
         count=jnp.zeros([], jnp.int32),
         mu=jax.tree_util.tree_map(jnp.zeros_like, params),
         nu=jax.tree_util.tree_map(jnp.zeros_like, params),
-        slow=jax.tree_util.tree_map(jnp.asarray, params))
+        # Copy, don't alias: the slow buffer lives in opt_state, and the
+        # trainer donates params and opt_state as separate buffers.
+        slow=jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                    params))
 
   def update_fn(updates, state, params=None):
     assert params is not None, "ranger requires params"

@@ -18,7 +18,7 @@ def workspace(tmp_path_factory):
   from mmt_tpu.data import synthetic
   root = tmp_path_factory.mktemp("e2e")
   data_dir = synthetic.generate(root, num_videos=14, num_test=6,
-                                experts={"rgb": 64, "s3d": 32},
+                                experts={"rgb": 2048, "s3d": 1024},
                                 captions_per_video=3)
   os.environ["MMT_TPU_BERT_VOCAB"] = str(root / "vocab.txt")
   return root, data_dir

@@ -1,0 +1,87 @@
+"""Pretrain -> finetune transfer and retrieval-learning e2e tests.
+
+Covers the HowTo100M -> MSRVTT workflow (SURVEY.md §3.5): a model
+pretrained with max_position_embeddings=32 warm-starts a 102-slot
+finetune model through the position-embedding zero-pad rule, via the
+real CLI; plus a learnability check — training must beat chance R@1 on
+the structured synthetic corpus.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+  from mmt_tpu.data import synthetic
+  root = tmp_path_factory.mktemp("transfer")
+  data_dir = synthetic.generate(root, num_videos=20, num_test=8,
+                                experts={"rgb": 2048, "s3d": 1024},
+                                captions_per_video=3)
+  os.environ["MMT_TPU_BERT_VOCAB"] = str(root / "vocab.txt")
+  return root, data_dir
+
+
+def _config(root, data_dir, exp_dir, max_pos, epochs=2, lr=1e-3):
+  import sys
+  sys.path.insert(0, os.path.dirname(__file__))
+  from test_train_e2e import make_config
+  cfg = make_config(root, data_dir, exp_dir)
+  cfg["arch"]["args"]["vid_bert_params"]["max_position_embeddings"] = max_pos
+  cfg["trainer"]["epochs"] = epochs
+  cfg["trainer"]["max_samples_per_epoch"] = 48
+  cfg["optimizer"]["args"]["lr"] = lr
+  return cfg
+
+
+def test_position_embedding_transfer(workspace, tmp_path):
+  """32-slot pretrain checkpoint loads into a 102-slot model (pad rule,
+  base/base_trainer.py:391-406), through the CLI warm-start path."""
+  import train as train_cli
+  root, data_dir = workspace
+
+  pre_dir = tmp_path / "pretrain"
+  cfg = _config(root, data_dir, pre_dir, max_pos=32)
+  p = tmp_path / "pre.json"
+  p.write_text(json.dumps(cfg))
+  train_cli.main(["--config", str(p)])
+  ckpt = pre_dir / "trained_model.msgpack"
+  assert ckpt.exists()
+
+  ft_dir = tmp_path / "finetune"
+  cfg2 = _config(root, data_dir, ft_dir, max_pos=102)
+  p2 = tmp_path / "ft.json"
+  p2.write_text(json.dumps(cfg2))
+  trainer = train_cli.main(["--config", str(p2), "--load_checkpoint",
+                            str(ckpt)])
+  emb = np.asarray(
+      trainer.params["vid_bert"]["position_embeddings"]["embedding"])
+  assert emb.shape[0] == 102
+  # rows beyond the pretrain table started as zeros and were then trained;
+  # the first 32 rows must carry the pretrain values at load time — the
+  # warm-start provenance note proves the non-strict path ran.
+  assert (ft_dir / "info_checkpoint.txt").exists()
+
+
+def test_training_learns_retrieval(workspace, tmp_path):
+  """R@1 on the held-out synthetic test split beats chance by a wide
+  margin after a short training run (golden-number-style regression,
+  SURVEY.md §4)."""
+  import train as train_cli
+  root, data_dir = workspace
+  exp_dir = tmp_path / "learn"
+  cfg = _config(root, data_dir, exp_dir, max_pos=32, epochs=12, lr=2e-3)
+  cfg["trainer"]["max_samples_per_epoch"] = 64
+  p = tmp_path / "learn.json"
+  p.write_text(json.dumps(cfg))
+  train_cli.main(["--config", str(p)])
+  with open(exp_dir / "exp_results.json") as f:
+    res = json.load(f)
+  r1 = res["perfs"]["MSRVTT_jsfusion_test"]["t2v_metrics/R1/final_eval"]
+  medr = res["perfs"]["MSRVTT_jsfusion_test"]["t2v_metrics/MedR/final_eval"]
+  # chance R@1 on 8 test videos = 12.5%; the topic structure is learnable
+  assert r1 >= 50.0, f"R@1 {r1} did not beat chance meaningfully"
+  assert medr <= 2.0, f"MedR {medr}"
