@@ -62,6 +62,15 @@ class CENet(nn.Module):
   same_dim: int = 512
   l2renorm: bool = False          # stored for config parity (unused, as in ref)
   normalize_experts: bool = True
+  # Accepted-but-inert knobs from the reference CENet signature
+  # (model/model.py:48-73): stored so reference configs load unmodified.
+  freeze_weights: bool = False
+  mimic_ce_dims: bool = False
+  concat_experts: bool = False
+  concat_mix_experts: bool = False
+  use_experts: str = "origfeat"
+  use_mask: str = "nomask"
+  agg_dims: Optional[Any] = None
   we_vocab_size: int = 0          # word-embedding path (txt_agg vlad/mxp/lstm)
   we_dim: int = 768
   compute_dtype: Any = jnp.float32

@@ -359,7 +359,8 @@ class Trainer:
 
       log["mnt_best"] = self.mnt_best
       log["not_improved_count"] = not_improved_count
-      self.writer.add_scalar("mnt_best", self.mnt_best, epoch)
+      if np.isfinite(self.mnt_best):  # -inf until first improvement
+        self.writer.add_scalar("mnt_best", self.mnt_best, epoch)
       try:
         acc_key = getattr(self, "mnt_metric", None)
         self.writer.add_hparams(
@@ -508,6 +509,19 @@ class Trainer:
         sims_path = self.exp_dir / f"{ds_base}-{split_name}-sims.npy"
         np.save(sims_path, {"sims": sims, "query_masks": query_masks})
         logger.info("Saved similarity matrix to %s", sims_path)
+
+      # Tracked throughput metric (BASELINE.json): eval videos/sec/chip.
+      n_videos = sims.shape[1]
+      embds_time = self.timer.dic.get("valid.embds", {}).get("val", 0)
+      conf_time = self.timer.dic.get("valid.conf_mat", {}).get("val", 0)
+      n_chips = jax.device_count()
+      if embds_time + conf_time > 0:
+        vps = n_videos / (embds_time + conf_time) / n_chips
+        logger.info("%s eval throughput: %.1f videos/s/chip "
+                    "(%d videos, %.3fs embed + %.3fs similarity)",
+                    dataset_name, vps, n_videos, embds_time, conf_time)
+        self.writer.add_scalar(f"{dataset_name}/eval_videos_per_sec_per_chip",
+                               vps, epoch)
 
       nested = {}
       with self.timer.time("valid.metrics"):

@@ -77,6 +77,9 @@ def frozen_param_mask(params, txt_agg: str, txt_inp: str):
 def train(config):
   import jax
 
+  from mmt_tpu.parallel.mesh import maybe_initialize_distributed
+  maybe_initialize_distributed()
+
   from mmt_tpu.experts import compute_dims
   from mmt_tpu.models.cenet import CENet
   from mmt_tpu.registry import build, get
