@@ -92,6 +92,10 @@ def main():
   latency = min(times)
   videos_per_sec = N_VIDEOS / latency
 
+  train_step_ms = None
+  if os.environ.get("BENCH_TRAIN", "1") == "1":
+    train_step_ms = _bench_train_step(jax, jnp)
+
   result = {
       "metric": "msrvtt1k_eval_videos_per_sec_per_chip",
       "value": round(videos_per_sec, 2),
@@ -104,7 +108,57 @@ def main():
       "pallas_similarity": bool(use_pallas
                                 and jax.default_backend() == "tpu"),
   }
+  if train_step_ms is not None:
+    result["train_step_ms_b32"] = round(train_step_ms, 2)
+    result["train_samples_per_sec_per_chip"] = round(
+        32 * 1000 / train_step_ms, 1)
   print(json.dumps(result))
+
+
+def _bench_train_step(jax, jnp):
+  """Full jitted train step (fwd + similarity + loss + bwd + Adam) on the
+  flagship model, MSRVTT batch size 32 (BASELINE.md training scale)."""
+  import optax
+  from __graft_entry__ import _flagship_model_and_batch
+  from mmt_tpu.models.cenet import similarity_from_outputs
+  from mmt_tpu.train.losses import max_margin_ranking_loss
+  from mmt_tpu.train.optim import build_optimizer
+
+  model, batch = _flagship_model_and_batch(batch_size=32,
+                                           compute_dtype=jnp.bfloat16)
+  variables = model.init(
+      {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+      batch, train=False)
+  params, bs = variables["params"], variables.get("batch_stats", {})
+  tx, _ = build_optimizer({"type": "Adam", "args": {"lr": 5e-5,
+                                                    "weight_decay": 0}})
+  opt_state = tx.init(params)
+  loss_fn = max_margin_ranking_loss(0.05, True)
+
+  @jax.jit
+  def step(params, bs, opt_state, batch, rng):
+    def L(p):
+      out, mut = model.apply({"params": p, "batch_stats": bs}, batch,
+                             train=True, rngs={"dropout": rng},
+                             mutable=["batch_stats"])
+      return loss_fn(similarity_from_outputs(out, merge="avg")), \
+          mut.get("batch_stats", bs)
+    (loss, nbs), grads = jax.value_and_grad(L, has_aux=True)(params)
+    updates, nopt = tx.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), nbs, nopt, loss
+
+  db = jax.device_put(batch)
+  params, bs, opt_state, loss = step(params, bs, opt_state, db,
+                                     jax.random.PRNGKey(2))
+  float(loss)  # sync after compile
+  times = []
+  for i in range(3):
+    tic = time.perf_counter()
+    params, bs, opt_state, loss = step(params, bs, opt_state, db,
+                                       jax.random.PRNGKey(3 + i))
+    float(loss)
+    times.append(time.perf_counter() - tic)
+  return min(times) * 1000.0
 
 
 if __name__ == "__main__":

@@ -13,8 +13,6 @@ from __future__ import annotations
 import collections
 import itertools
 import logging
-import queue
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional
 

@@ -112,6 +112,15 @@ class ReduceDim(nn.Module):
     return l2_normalize(x)
 
 
+class GatedLinearUnit(nn.Module):
+  """glu(cat(x, mask)) (model/model.py:729-733; defined-for-completeness
+  in the reference as well)."""
+
+  @nn.compact
+  def __call__(self, x, mask):
+    return x * jax.nn.sigmoid(mask)
+
+
 class ContextGatingReasoning(nn.Module):
   """x * sigmoid(BN(mask) + BN2(Wx)) (model/model.py:765-786)."""
   dimension: int

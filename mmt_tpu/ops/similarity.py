@@ -59,8 +59,8 @@ def moe_similarity(text_embds, vid_embds, text_weights, vid_weights,
     [B, V] ('avg') or [Q, V] ('indep') similarity matrix, fp32.
   """
   if _USE_PALLAS and jax.default_backend() == "tpu":
-    sims = _pallas_moe_similarity(text_embds, vid_embds,
-                                  text_weights, vid_weights)
+    sims = _fused_moe_similarity(text_embds, vid_embds,
+                                 text_weights, vid_weights)
   else:
     sims = _xla_moe_similarity(text_embds, vid_embds,
                                text_weights, vid_weights)
@@ -83,6 +83,58 @@ def _xla_moe_similarity(text_embds, vid_embds, text_weights, vid_weights):
                      preferred_element_type=jnp.float32)
   denom = jnp.where(denom == 0, EPS_ZERO_GUARD, denom)
   return numer / denom
+
+
+# ---------------------------------------------------------------------------
+# Custom-VJP wrapper: Pallas kernel forward, closed-form einsum backward.
+# With s = n/d, n = sum_m tw*vw*<t,v>, d = max-guarded sum_m tw*vw:
+#   dt[q,m,:] = (g/d) @ (vw*v)        dv[v,m,:] = (g/d)^T @ (tw*t)
+#   dtw[q,m]  = sum_v (g/d)[q,v] (vw[v,m]<t,v> - s[q,v] vw[v,m])
+#   dvw analogous.  The guard (d==0 -> eps) is treated as a constant
+#   selection, matching the XLA path's jnp.where gradient.
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def _fused_moe_similarity(text_embds, vid_embds, text_weights, vid_weights):
+  return _pallas_moe_similarity(text_embds, vid_embds, text_weights,
+                                vid_weights)
+
+
+def _fused_fwd(text_embds, vid_embds, text_weights, vid_weights):
+  sims = _pallas_moe_similarity(text_embds, vid_embds, text_weights,
+                                vid_weights)
+  return sims, (text_embds, vid_embds, text_weights, vid_weights, sims)
+
+
+def _fused_bwd(res, g):
+  text_embds, vid_embds, text_weights, vid_weights, sims = res
+  t = text_embds.astype(jnp.float32)
+  v = vid_embds.astype(jnp.float32)
+  tw = text_weights.astype(jnp.float32)
+  vw = vid_weights.astype(jnp.float32)
+  g = g.astype(jnp.float32)
+
+  denom = jnp.einsum("qm,vm->qv", tw, vw)
+  denom_g = jnp.where(denom == 0, EPS_ZERO_GUARD, denom)
+  gd = g / denom_g                                    # [Q, V]
+
+  tv = v * vw[:, :, None]                             # [V, M, D]
+  tt = t * tw[:, :, None]                             # [Q, M, D]
+  d_text = jnp.einsum("qv,vmd->qmd", gd, tv) * tw[:, :, None]
+  d_vid = jnp.einsum("qv,qmd->vmd", gd, tt) * vw[:, :, None]
+
+  dots = jnp.einsum("qmd,vmd->qvm", t, v)             # per-modality <t,v>
+  # d/dtw: gd * (vw * dots) - gd * sims * vw  summed over v
+  d_tw = (jnp.einsum("qv,qvm,vm->qm", gd, dots, vw)
+          - jnp.einsum("qv,qv,vm->qm", gd, sims, vw))
+  d_vw = (jnp.einsum("qv,qvm,qm->vm", gd, dots, tw)
+          - jnp.einsum("qv,qv,qm->vm", gd, sims, tw))
+  return (d_text.astype(text_embds.dtype), d_vid.astype(vid_embds.dtype),
+          d_tw.astype(text_weights.dtype), d_vw.astype(vid_weights.dtype))
+
+
+_fused_moe_similarity.defvjp(_fused_fwd, _fused_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -30,6 +30,7 @@ import time
 from typing import Any, Dict, List, Optional
 
 import jax
+import optax
 import jax.numpy as jnp
 import numpy as np
 
@@ -242,7 +243,6 @@ class Trainer:
           compute_loss, has_aux=True)(params)
       opt_state.hyperparams["learning_rate"] = lr
       updates, new_opt = tx.update(grads, opt_state, params)
-      import optax
       new_params = optax.apply_updates(params, updates)
       return new_params, new_bs, new_opt, loss
 

@@ -74,3 +74,32 @@ def test_pallas_kernel_interpret(rng):
         jnp.asarray(text), jnp.asarray(vid), jnp.asarray(tw), jnp.asarray(vw)))
   want = np.asarray(similarity._xla_moe_similarity(text, vid, tw, vw))
   np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_custom_vjp_grads_match_xla(rng):
+  """Pallas-forward custom VJP == autodiff through the XLA path."""
+  import jax
+  import jax.numpy as jnp
+  from jax.experimental.pallas import tpu as pltpu
+
+  q, v, m, d = 8, 8, 3, 16
+  text = rng.randn(q, m, d).astype(np.float32)
+  vid = rng.randn(v, m, d).astype(np.float32)
+  tw = np.abs(rng.rand(q, m)).astype(np.float32)
+  vw = np.abs(rng.rand(v, m)).astype(np.float32)
+  vw[0] = 0.0  # exercise the zero-denominator guard
+
+  def loss_xla(args):
+    return jnp.sum(jnp.sin(similarity._xla_moe_similarity(*args)))
+
+  def loss_fused(args):
+    return jnp.sum(jnp.sin(similarity._fused_moe_similarity(*args)))
+
+  args = (jnp.asarray(text), jnp.asarray(vid), jnp.asarray(tw),
+          jnp.asarray(vw))
+  g_xla = jax.grad(loss_xla)(args)
+  with pltpu.force_tpu_interpret_mode():
+    g_fused = jax.grad(loss_fused)(args)
+  for a, b in zip(g_xla, g_fused):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-5)
