@@ -197,14 +197,18 @@ class CENet(nn.Module):
       features / features_t / features_ind / features_avgpool /
       features_maxpool: dicts keyed by modality.
     """
+    text_out = self.embed_text(batch["token_ids"], train=train)
+    vid_out = self.embed_video(batch, train=train)
+    return {**text_out, **vid_out}
+
+  # ------------------------------------------------------------------
+  def embed_text(self, token_ids, *, train: bool = False):
+    """Caption tower only: token_ids [B,K,T,2] ->
+    {text_embds [B,K,M,D], text_weights [B,K,M]}.  Exposed separately for
+    the serving path (query embedding needs no video inputs)."""
     mods = self.modalities
-    token_ids = batch["token_ids"]
     b, k, t, _ = token_ids.shape
     m = len(mods)
-
-    ind = {mod: jnp.max(batch["features_ind"][mod], axis=1) for mod in mods}
-
-    # ---------------- text branch ----------------
     flat_ids = token_ids.reshape(b * k, t, 2)
     input_ids = flat_ids[:, :, 0].astype(jnp.int32)
     attn_mask = flat_ids[:, :, 1].astype(jnp.int32)
@@ -239,7 +243,35 @@ class CENet(nn.Module):
                  else self.text_gu[mod](text).reshape(b, k, -1)
                  for mod in mods}
 
-    # ---------------- video branch ----------------
+    if self.txt_wgh == "emb":
+      e = self.moe_txt_dropout(text, deterministic=not train)
+      logits = jnp.concatenate([self.moe_fc_txt[mod](e) for mod in mods], -1)
+      text_weights = jax.nn.softmax(logits, axis=1).reshape(b, k, m)
+    elif self.txt_wgh == "none":
+      text_weights = jnp.ones((b, k, m), dtype=jnp.float32)
+    else:
+      raise NotImplementedError(
+          f"txt weighting mode {self.txt_wgh} not supported")
+    text_weights = C.l1_normalize(text_weights)
+
+    if self.normalize_experts:
+      text_embd = {mod: C.l2_normalize(v) for mod, v in text_embd.items()}
+    text_embds = jnp.stack([text_embd[mod] for mod in mods], axis=2)
+    return {
+        "text_embds": text_embds.astype(jnp.float32),
+        "text_weights": text_weights.astype(jnp.float32),
+    }
+
+  # ------------------------------------------------------------------
+  def embed_video(self, batch, *, train: bool = False):
+    """Video tower only: expert-feature batch ->
+    {vid_embds [B,M,D], vid_weights [B,M]} (index building for serving,
+    and the video half of the training forward)."""
+    mods = self.modalities
+    m = len(mods)
+    b = batch["features_ind"][mods[0]].shape[0]
+    ind = {mod: jnp.max(batch["features_ind"][mod], axis=1) for mod in mods}
+
     mnp_experts, maxp_experts = {}, {}
     if self.vid_inp in ("agg", "both", "all"):
       for mod in mods:
@@ -293,30 +325,12 @@ class CENet(nn.Module):
       vid_weights = vid_weights * available
     vid_weights = C.l1_normalize(vid_weights)
 
-    if self.txt_wgh == "emb":
-      e = self.moe_txt_dropout(text, deterministic=not train)
-      logits = jnp.concatenate([self.moe_fc_txt[mod](e) for mod in mods], -1)
-      text_weights = jax.nn.softmax(logits, axis=1).reshape(b, k, m)
-    elif self.txt_wgh == "none":
-      text_weights = jnp.ones((b, k, m), dtype=jnp.float32)
-    else:
-      raise NotImplementedError(
-          f"txt weighting mode {self.txt_wgh} not supported")
-    text_weights = C.l1_normalize(text_weights)
-
-    # ---------------- final norms + stacking ----------------
     if self.normalize_experts:
       experts = {mod: C.l2_normalize(v) for mod, v in experts.items()}
-      text_embd = {mod: C.l2_normalize(v) for mod, v in text_embd.items()}
-
     vid_embds = jnp.stack([experts[mod] for mod in mods], axis=1)   # [B,M,D]
-    text_embds = jnp.stack([text_embd[mod] for mod in mods], axis=2)  # [B,K,M,D]
-
     return {
         "vid_embds": vid_embds.astype(jnp.float32),
-        "text_embds": text_embds.astype(jnp.float32),
         "vid_weights": vid_weights.astype(jnp.float32),
-        "text_weights": text_weights.astype(jnp.float32),
     }
 
   # ------------------------------------------------------------------

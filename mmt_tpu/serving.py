@@ -1,0 +1,135 @@
+"""Retrieval serving: precomputed video index + jitted query engine.
+
+Beyond the reference's surface (it has no serving story): embed a corpus
+once into an on-disk index (per-modality embeddings + MoE weights), then
+answer free-text queries with one jitted text-tower forward + the fused
+MoE similarity + an on-device top-k.
+
+  index = RetrievalIndex.build(model, variables, loader)     # or .load()
+  engine = RetrievalEngine(model, variables, tokenizer, index)
+  hits = engine.search(["a man cooking pasta"], topk=5)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import pathlib
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from mmt_tpu.data.sample import crop_or_pad_tokens, tokenize_caption
+from mmt_tpu.ops import similarity as similarity_ops
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class RetrievalIndex:
+  """Embedded corpus: [N, M, D] video embeddings + [N, M] MoE weights."""
+  vid_embds: np.ndarray
+  vid_weights: np.ndarray
+  video_ids: List[str]
+  paths: List[str]
+
+  @classmethod
+  def build(cls, model, variables, loader, dataset=None) -> "RetrievalIndex":
+    """Embed every video served by ``loader`` (an eval BatchLoader)."""
+    from mmt_tpu.train.trainer import model_batch
+
+    @jax.jit
+    def embed(batch):
+      return model.apply(variables, batch, train=False,
+                         method=model.embed_video)
+
+    embds, weights, paths = [], [], []
+    for batch in loader:
+      out = embed(model_batch(batch))
+      embds.append(np.asarray(out["vid_embds"]))
+      weights.append(np.asarray(out["vid_weights"]))
+      paths.extend(batch.get("paths", []))
+    vid_embds = np.concatenate(embds, 0)
+    vid_weights = np.concatenate(weights, 0)
+    if dataset is not None and hasattr(dataset, "vid_list"):
+      video_ids = list(dataset.vid_list)[:len(vid_embds)]
+    else:
+      video_ids = [f"video{i}" for i in range(len(vid_embds))]
+    return cls(vid_embds, vid_weights, video_ids,
+               paths or [""] * len(vid_embds))
+
+  def save(self, path) -> None:
+    blob = serialization.msgpack_serialize({
+        "vid_embds": self.vid_embds,
+        "vid_weights": self.vid_weights,
+        "video_ids": "\n".join(self.video_ids),
+        "paths": "\n".join(str(p) for p in self.paths),
+    })
+    pathlib.Path(path).write_bytes(blob)
+
+  @classmethod
+  def load(cls, path) -> "RetrievalIndex":
+    raw = serialization.msgpack_restore(pathlib.Path(path).read_bytes())
+    return cls(np.asarray(raw["vid_embds"]), np.asarray(raw["vid_weights"]),
+               raw["video_ids"].split("\n"), raw["paths"].split("\n"))
+
+  def __len__(self):
+    return len(self.vid_embds)
+
+
+class RetrievalEngine:
+  """Free-text video search over a RetrievalIndex."""
+
+  def __init__(self, model, variables, tokenizer, index: RetrievalIndex,
+               max_text_words: int = 30):
+    self.model = model
+    self.variables = variables
+    self.tokenizer = tokenizer
+    self.index = index
+    self.max_text_words = max_text_words
+    self._dev_embds = jnp.asarray(index.vid_embds)
+    self._dev_weights = jnp.asarray(index.vid_weights)
+
+    @jax.jit
+    def query_fn(token_ids, vid_embds, vid_weights):
+      out = model.apply(self.variables, token_ids, train=False,
+                        method=model.embed_text)
+      b, k, m, d = out["text_embds"].shape
+      sims = similarity_ops.moe_similarity(
+          out["text_embds"].reshape(b * k, m, d), vid_embds,
+          out["text_weights"].reshape(b * k, m), vid_weights,
+          merge="indep", num_caps=1)
+      k_top = min(10, vid_embds.shape[0])
+      scores, idx = jax.lax.top_k(sims, k_top)
+      return scores, idx
+
+    self._query_fn = query_fn
+
+  def encode_queries(self, texts: Sequence[str]) -> np.ndarray:
+    rows = []
+    for text in texts:
+      ids = tokenize_caption(self.tokenizer, text.split(),
+                             self.max_text_words)
+      rows.append(crop_or_pad_tokens(ids, self.max_text_words))
+    return np.stack(rows, 0)[:, None].astype(np.int32)   # [B, 1, T, 2]
+
+  def search(self, texts: Sequence[str], topk: int = 5) -> List[List[Dict]]:
+    token_ids = self.encode_queries(texts)
+    scores, idx = self._query_fn(token_ids, self._dev_embds,
+                                 self._dev_weights)
+    scores, idx = np.asarray(scores), np.asarray(idx)
+    results = []
+    for q in range(len(texts)):
+      hits = []
+      for rank in range(min(topk, idx.shape[1])):
+        v = int(idx[q, rank])
+        hits.append({"video_id": self.index.video_ids[v],
+                     "path": self.index.paths[v],
+                     "score": float(scores[q, rank]),
+                     "rank": rank})
+      results.append(hits)
+    return results

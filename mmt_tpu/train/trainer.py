@@ -34,6 +34,7 @@ import optax
 import jax.numpy as jnp
 import numpy as np
 
+from mmt_tpu.data import loader as loader_lib
 from mmt_tpu.models.cenet import similarity_from_outputs
 from mmt_tpu.ops import similarity as similarity_ops
 from mmt_tpu.parallel import mesh as mesh_lib
@@ -405,9 +406,20 @@ class Trainer:
     # times (torch calls get_lr before step()).
     epoch_lr = self.lr_schedule(epoch - 1)
 
+    # Losses stay on device between log points: reading the scalar every
+    # step would serialize host and device (the reference pays this with
+    # loss.item() each step, trainer/trainer.py:206).
+    pending_losses: List[Any] = []
     total_loss = 0.0
     data_start = time.time()
-    for batch_idx, batch in enumerate(loader):
+    batches = iter(loader)
+    if self.mesh is None:
+      batches = loader_lib.device_prefetch(
+          (model_batch(b) for b in batches), size=2)
+    else:
+      batches = (mesh_lib.shard_batch(self.mesh, model_batch(b))
+                 for b in batches)
+    for batch_idx, batch in enumerate(batches):
       if (batch_idx + 1) * batch_size * n_pairs > self.max_samples_per_epoch:
         break
       self.timer.update("train_batch.data_loading", time.time() - data_start)
@@ -419,14 +431,15 @@ class Trainer:
       step_start = time.time()
       self.rng, step_rng = jax.random.split(self.rng)
       self.params, self.batch_stats, self.opt_state, loss = self.train_step(
-          self.params, self.batch_stats, self.opt_state,
-          model_batch(batch), lr, step_rng)
-      loss_value = float(loss)
-      total_loss += loss_value
+          self.params, self.batch_stats, self.opt_state, batch, lr, step_rng)
+      pending_losses.append(loss)
       self.timer.update("train_batch.step", time.time() - step_start)
       self.timer.update("train_batch.total", time.time() - data_start)
 
       if batch_idx % log_step == 0:
+        total_loss += float(np.sum([float(l) for l in pending_losses]))
+        loss_value = float(pending_losses[-1])
+        pending_losses = []
         bt = self.timer.dic["train_batch.total"]["val"]
         logger.info("Train Epoch: %d [%d/%d] Loss: %.6f batch_time=%.5f",
                     epoch, batch_idx + 1, batches_per_epoch, loss_value, bt)
@@ -434,6 +447,7 @@ class Trainer:
       if batch_idx + 1 >= batches_per_epoch:
         break
 
+    total_loss += float(np.sum([float(l) for l in pending_losses]))
     return {"loss": total_loss / max(batches_per_epoch, 1),
             "learning_rate": epoch_lr,
             "n_samples": self.n_samples, "n_steps": self.n_steps}

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Retrieval serving CLI: build an index from a trained experiment, then
+answer text queries.
+
+  # one-time index build
+  python scripts/serve.py --config <cfg> --checkpoint <msgpack> \
+      --build_index index.msgpack
+  # query
+  python scripts/serve.py --config <cfg> --checkpoint <msgpack> \
+      --index index.msgpack --query "a man cooking pasta" [--topk 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+logger = logging.getLogger("serve")
+
+
+def load_model_and_loader(config_path, checkpoint_path):
+  import jax
+  from mmt_tpu import config as config_lib
+  from mmt_tpu.experts import compute_dims
+  from mmt_tpu.models.cenet import CENet
+  from mmt_tpu.registry import build
+  from mmt_tpu.tokenization import create_tokenizer
+  from mmt_tpu.train import checkpoint as ckpt_lib
+  from mmt_tpu.train.trainer import model_batch
+  import mmt_tpu.data.loader  # noqa: F401
+
+  cfg = config_lib.load(config_path)
+  expert_dims = compute_dims(cfg.raw)
+  tokenizer = create_tokenizer(cfg.arch_args.get("txt_agg", "bertftn"))
+  model = CENet(expert_dims=expert_dims, **cfg.arch_args)
+
+  entry = build("data_loader", cfg["final_eval_sets"][0],
+                raw_input_dims=expert_dims, training=False,
+                tokenizer=tokenizer, loaded_data={},
+                cross_seed=cfg.cross_seed)
+
+  probe = model_batch(next(iter(entry["loader"])))
+  variables = model.init(
+      {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+      probe, train=False)
+  raw = ckpt_lib.load_checkpoint_raw(checkpoint_path)
+  params = ckpt_lib.merge_params(variables["params"], raw["params"])
+  batch_stats = variables.get("batch_stats", {})
+  if raw.get("batch_stats"):
+    batch_stats = ckpt_lib.merge_params(batch_stats, raw["batch_stats"])
+  variables = {"params": params, "batch_stats": batch_stats}
+  mix0 = cfg["final_eval_sets"][0]["args"]["mix"][0]
+  return model, variables, tokenizer, entry, mix0.get("max_text_words", 30)
+
+
+def main(argv=None):
+  parser = argparse.ArgumentParser()
+  parser.add_argument("--config", required=True)
+  parser.add_argument("--checkpoint", required=True)
+  parser.add_argument("--build_index", default=None,
+                      help="write the index here and exit")
+  parser.add_argument("--index", default=None, help="prebuilt index path")
+  parser.add_argument("--query", action="append", default=[],
+                      help="text query (repeatable)")
+  parser.add_argument("--topk", type=int, default=5)
+  args = parser.parse_args(argv)
+  logging.basicConfig(level=logging.INFO, format="%(message)s")
+
+  from mmt_tpu.serving import RetrievalEngine, RetrievalIndex
+
+  model, variables, tokenizer, entry, max_words = load_model_and_loader(
+      args.config, args.checkpoint)
+
+  if args.build_index:
+    index = RetrievalIndex.build(model, variables, entry["loader"],
+                                 dataset=entry["dataset"].datasets[0]
+                                 if hasattr(entry["dataset"], "datasets")
+                                 else entry["dataset"])
+    index.save(args.build_index)
+    logger.info("indexed %d videos -> %s", len(index), args.build_index)
+    if not args.query:
+      return
+
+  index = RetrievalIndex.load(args.index or args.build_index)
+  engine = RetrievalEngine(model, variables, tokenizer, index,
+                           max_text_words=max_words)
+  for query, hits in zip(args.query, engine.search(args.query, args.topk)):
+    print(json.dumps({"query": query, "hits": hits}))
+
+
+if __name__ == "__main__":
+  main()

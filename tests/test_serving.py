@@ -1,0 +1,95 @@
+"""Serving layer: index build/save/load and query search (incl. the CLI)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+  """Train a tiny model, then build an index from the trained experiment."""
+  sys.path.insert(0, os.path.dirname(__file__))
+  import train as train_cli
+  from mmt_tpu.data import synthetic
+  from test_train_e2e import make_config
+
+  root = tmp_path_factory.mktemp("serving")
+  data_dir = synthetic.generate(root, num_videos=16, num_test=6,
+                                experts={"rgb": 2048, "s3d": 1024},
+                                captions_per_video=3)
+  os.environ["MMT_TPU_BERT_VOCAB"] = str(root / "vocab.txt")
+  cfg = make_config(root, data_dir, root / "exps" / "srv")
+  cfg["trainer"].update({"epochs": 8, "max_samples_per_epoch": 64})
+  cfg["optimizer"]["args"]["lr"] = 2e-3
+  cfg_path = root / "cfg.json"
+  cfg_path.write_text(json.dumps(cfg))
+  trainer = train_cli.main(["--config", str(cfg_path)])
+  return root, cfg_path, trainer
+
+
+def test_index_and_search(served):
+  from mmt_tpu.serving import RetrievalEngine, RetrievalIndex
+  root, cfg_path, trainer = served
+
+  entry = trainer.data_loaders["final_eval_sets"][0]
+  variables = {"params": trainer.params, "batch_stats": trainer.batch_stats}
+  dataset = entry["dataset"].datasets[0]
+  index = RetrievalIndex.build(trainer.model, variables, entry["loader"],
+                               dataset=dataset)
+  assert len(index) == 6
+  assert index.vid_embds.shape[1:] == (2, 48)
+
+  # save / load roundtrip
+  path = root / "index.msgpack"
+  index.save(path)
+  index2 = RetrievalIndex.load(path)
+  np.testing.assert_array_equal(index.vid_embds, index2.vid_embds)
+  assert index2.video_ids == index.video_ids
+
+  engine = RetrievalEngine(trainer.model, variables, trainer.tokenizer,
+                           index2, max_text_words=12)
+  # query with each test video's topic word; the trained model should
+  # put the right video in the top ranks most of the time
+  from mmt_tpu.data.synthetic import TOPICS
+  import pickle
+  import h5py
+  hits_at_1 = 0
+  queries, gt = [], []
+  for vid in index2.video_ids:
+    h5 = root / "vid_feat_files" / "mult_h5" / vid[0] / vid[1] / vid[2] / f"{vid}.h5"
+    with h5py.File(h5, "r") as f:
+      words = [w.decode() for w in f["raw_captions.0"][()]]
+    topic = next(w for w in words if w in TOPICS)
+    queries.append(f"a video of {topic}")
+    gt.append(vid)
+  results = engine.search(queries, topk=3)
+  for want_vid, hits in zip(gt, results):
+    assert len(hits) == 3
+    assert hits[0]["score"] >= hits[1]["score"] >= hits[2]["score"]
+    if hits[0]["video_id"] == want_vid:
+      hits_at_1 += 1
+  assert hits_at_1 >= 3, f"top-1 hits only {hits_at_1}/6"
+
+
+def test_serve_cli(served):
+  root, cfg_path, trainer = served
+  env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+             PYTHONPATH=f"{os.getcwd()}:{os.getcwd()}/tests")
+  index_path = root / "cli_index.msgpack"
+  proc = subprocess.run(
+      [sys.executable, "scripts/serve.py", "--config", str(cfg_path),
+       "--checkpoint", str(root / "exps" / "srv" / "trained_model.msgpack"),
+       "--build_index", str(index_path),
+       "--query", "a video of cooking", "--topk", "3"],
+      capture_output=True, text=True, env=env, cwd=os.getcwd())
+  assert proc.returncode == 0, proc.stderr[-2000:]
+  assert index_path.exists()
+  out_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+  assert out_lines, proc.stdout
+  result = json.loads(out_lines[-1])
+  assert result["query"] == "a video of cooking"
+  assert len(result["hits"]) == 3
