@@ -187,19 +187,10 @@ class Config:
 
 
 def last_checkpoint_path(exp_dir) -> Optional[str]:
-  """Highest checkpoint-epoch<N> in exp_dir (utils/util.py:71-82 semantics).
-
-  Accepts both our msgpack files and reference-style .pth names.
-  """
-  best, best_epoch = None, -1
-  for filename in os.listdir(exp_dir):
-    m = re.search(r"checkpoint-epoch([0-9]+)(\.pth|\.msgpack)?$", filename)
-    if m:
-      epoch = int(m.group(1))
-      if epoch > best_epoch:
-        best_epoch = epoch
-        best = os.path.join(exp_dir, filename)
-  return best
+  """Highest checkpoint-epoch<N> in exp_dir (utils/util.py:71-82
+  semantics); shared with the checkpoint module."""
+  from mmt_tpu.train.checkpoint import last_checkpoint
+  return last_checkpoint(exp_dir)
 
 
 def from_args(args) -> Config:

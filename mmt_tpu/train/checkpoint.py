@@ -28,7 +28,9 @@ from flax import serialization
 
 logger = logging.getLogger(__name__)
 
-CKPT_RE = r"checkpoint-epoch(\d+)\.msgpack$"
+# Accepts our .msgpack names and reference-style .pth names so --resume
+# works on a directory containing converted reference checkpoints too.
+CKPT_RE = r"checkpoint-epoch(\d+)(\.msgpack|\.pth)?$"
 
 
 def _atomic_write(path, data: bytes):

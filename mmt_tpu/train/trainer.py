@@ -143,6 +143,10 @@ class Trainer:
       logger.info("jax_debug_nans enabled")
     self.profile_dir = (cfg_trainer.get("profile_dir")
                         or os.environ.get("MMT_TPU_PROFILE"))
+    # checkified device-side batch invariants on the first batch of each
+    # epoch/eval (SURVEY.md §5 sanitizer analogue).
+    self.sanity_checks = bool(cfg_trainer.get("sanity_checks")
+                              or os.environ.get("MMT_TPU_SANITY_CHECKS"))
 
     # Preemption-safe checkpointing: SIGTERM triggers an atomic save
     # before exit (the reference has no failure handling; its recovery is
@@ -423,6 +427,9 @@ class Trainer:
       if (batch_idx + 1) * batch_size * n_pairs > self.max_samples_per_epoch:
         break
       self.timer.update("train_batch.data_loading", time.time() - data_start)
+      if self.sanity_checks and batch_idx == 0:
+        from mmt_tpu.utils.checks import validate_batch
+        validate_batch(batch)
 
       self.n_samples += batch_size * n_pairs
       self.n_steps += 1

@@ -134,3 +134,36 @@ def test_pallas_attention_interpret(rng):
     got = attention._pallas_attention(q, k, v, bias, h)
   np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                              rtol=2e-5, atol=2e-5)
+
+
+def test_checkify_batch_validation(tiny_arch):
+  from mmt_tpu.utils.checks import validate_batch
+  from tests.conftest import make_batch
+
+  batch = make_batch(tiny_arch["expert_dims"])
+  # make padded rows actually zero (make_batch fills them randomly)
+  for m in batch["features"]:
+    batch["features"][m] *= batch["features_ind"][m][..., None]
+  validate_batch(batch)  # clean batch passes
+
+  bad = {k: (dict(v) if isinstance(v, dict) else v) for k, v in batch.items()}
+  bad["features"] = dict(batch["features"])
+  feats = batch["features"]["rgb"].copy()
+  feats[0, 0, 0] = np.nan
+  bad["features"]["rgb"] = feats
+  with pytest.raises(ValueError, match="validation"):
+    validate_batch(bad)
+
+
+def test_reference_config_builds_model():
+  """The reference's own MSRVTT config constructs our CENet unmodified."""
+  from mmt_tpu import config as config_lib
+  from mmt_tpu.experts import compute_dims
+  from mmt_tpu.models.cenet import CENet
+
+  cfg = config_lib.load(
+      "/root/reference/configs_pub/eccv20/MSRVTT_jsfusion_trainval.json")
+  expert_dims = compute_dims(cfg.raw)
+  model = CENet(expert_dims=expert_dims, **cfg.arch_args)
+  assert model.video_seq_len(max_expert_tokens=30) == 1 + 7 * 31
+  assert model.modalities == sorted(cfg.raw["experts"]["modalities"])
