@@ -135,7 +135,6 @@ def _bench_train_step(jax, jnp):
   opt_state = tx.init(params)
   loss_fn = max_margin_ranking_loss(0.05, True)
 
-  @jax.jit
   def step(params, bs, opt_state, batch, rng):
     def L(p):
       out, mut = model.apply({"params": p, "batch_stats": bs}, batch,
@@ -147,18 +146,21 @@ def _bench_train_step(jax, jnp):
     updates, nopt = tx.update(grads, opt_state, params)
     return optax.apply_updates(params, updates), nbs, nopt, loss
 
+  # Steady-state protocol: donated state, steps chained on device, one
+  # host sync at the end (matches the trainer, which reads the loss only
+  # at log intervals).
+  jstep = jax.jit(step, donate_argnums=(0, 1, 2))
   db = jax.device_put(batch)
-  params, bs, opt_state, loss = step(params, bs, opt_state, db,
-                                     jax.random.PRNGKey(2))
+  params, bs, opt_state, loss = jstep(params, bs, opt_state, db,
+                                      jax.random.PRNGKey(2))
   float(loss)  # sync after compile
-  times = []
-  for i in range(3):
-    tic = time.perf_counter()
-    params, bs, opt_state, loss = step(params, bs, opt_state, db,
-                                       jax.random.PRNGKey(3 + i))
-    float(loss)
-    times.append(time.perf_counter() - tic)
-  return min(times) * 1000.0
+  n_steps = 20
+  tic = time.perf_counter()
+  for i in range(n_steps):
+    params, bs, opt_state, loss = jstep(params, bs, opt_state, db,
+                                        jax.random.PRNGKey(3 + i))
+  float(loss)
+  return (time.perf_counter() - tic) / n_steps * 1000.0
 
 
 if __name__ == "__main__":
