@@ -48,6 +48,8 @@ class TransformerLayer(nn.Module):
     dense = lambda feats, name: nn.Dense(
         feats, dtype=self.dtype, name=name,
         kernel_init=nn.initializers.normal(cfg.initializer_range))
+    # LayerNorm statistics in fp32 regardless of compute dtype (measured
+    # to cost nothing on TPU vs bf16 statistics, and numerically safer).
     ln = lambda name: nn.LayerNorm(epsilon=cfg.layer_norm_eps, name=name,
                                    dtype=jnp.float32)
 
