@@ -171,8 +171,11 @@ def _pallas_moe_similarity(text_embds, vid_embds, text_weights, vid_weights):
   t = (text_embds.astype(jnp.float32) * tw[:, :, None]).reshape(q, m * d)
   vv = (vid_embds.astype(jnp.float32) * vw[:, :, None]).reshape(v, m * d)
 
-  tile_q = min(_round_up(q, 8), 256)
-  tile_v = min(_round_up(v, 128), 512)
+  # Tile sizes sized for VMEM: 2 double-buffered operand tiles of
+  # [tile, M*D] fp32 must fit in ~16 MB (M*D is 3584 for the 7-expert
+  # flagship).
+  tile_q = min(_round_up(q, 8), 128)
+  tile_v = min(_round_up(v, 128), 256)
   qp, vp = _round_up(q, tile_q), _round_up(v, tile_v)
   # Zero padding is harmless: padded rows produce denom==0 -> eps guard.
   t = jnp.pad(t, ((0, qp - q), (0, 0)))

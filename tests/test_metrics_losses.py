@@ -133,3 +133,26 @@ def test_infonce_matches_softmax_ce(rng):
 
   want = ce(x) + ce(x.T)
   np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_fused_rank_kernel_matches_two_pass(rng):
+  """Fused Pallas similarity+rank kernel == moe_similarity -> t2v_ranks."""
+  import jax.numpy as jnp
+  from jax.experimental.pallas import tpu as pltpu
+  from mmt_tpu.ops import similarity
+
+  caps, nv, m, d = 2, 12, 3, 16
+  q = nv * caps
+  text = rng.randn(q, m, d).astype(np.float32)
+  vid = rng.randn(nv, m, d).astype(np.float32)
+  tw = np.abs(rng.rand(q, m)).astype(np.float32)
+  vw = np.abs(rng.rand(nv, m)).astype(np.float32)
+
+  sims = similarity.moe_similarity(text, vid, tw, vw, merge="indep",
+                                   num_caps=caps)
+  want = np.asarray(ranking.t2v_ranks(sims))
+  with pltpu.force_tpu_interpret_mode():
+    got = np.asarray(ranking.fused_t2v_ranks(
+        jnp.asarray(text), jnp.asarray(vid), jnp.asarray(tw),
+        jnp.asarray(vw)))
+  np.testing.assert_allclose(got, want, atol=1e-5)
