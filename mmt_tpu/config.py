@@ -15,7 +15,7 @@ import logging
 import os
 import pathlib
 import re
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
 
 logger = logging.getLogger(__name__)
 

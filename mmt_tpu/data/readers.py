@@ -14,12 +14,11 @@ utils/util.py:96-151):
 
 from __future__ import annotations
 
-import functools
 import logging
 import os
 import pathlib
 import pickle
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

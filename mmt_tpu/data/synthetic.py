@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import os
 import pathlib
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -15,8 +15,6 @@ pass over the similarity matrix, O(QV) instead of O(QV log V)).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -24,7 +24,6 @@ model/model.py:827-836.
 
 from __future__ import annotations
 
-import functools
 import os
 
 import jax

@@ -13,10 +13,9 @@ MoE similarity + an on-device top-k.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import logging
 import pathlib
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ Reproduces base/base_trainer.py:346-464 and utils/util.py:71-82:
 
 from __future__ import annotations
 
-import json
 import logging
 import os
 import pathlib

@@ -21,13 +21,12 @@ restructured for TPU:
 
 from __future__ import annotations
 
-import collections
 import json
 import logging
 import os
 import pathlib
 import time
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import jax
 import optax

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import logging
 import pathlib
-from typing import Dict, List, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -150,3 +150,64 @@ def test_n_pairs_and_clip_windows(workspace, tmp_path):
   path.write_text(json.dumps(cfg))
   train_cli.main(["--config", str(path)])
   assert (tmp_path / "pairs" / "exp_completed_flag.txt").exists()
+
+
+def test_wo2v_vlad_pipeline(workspace, tmp_path):
+  """Word-vector tokenizer + NetVLAD text path through the CLI
+  (utils/nlp_utils.py:33-39 + model/model.py:196-217 semantics)."""
+  import sys
+  sys.path.insert(0, os.path.dirname(__file__))
+  import numpy as np
+  import train as train_cli
+  from test_train_e2e import make_config
+  from mmt_tpu.data.synthetic import TOPICS, FILLER
+
+  root, data_dir = workspace
+  # word2vec text-format vectors covering the synthetic vocabulary
+  words = sorted(set(TOPICS + FILLER))
+  rng = np.random.RandomState(0)
+  lines = [f"{len(words)} 16"]
+  for w in words:
+    vec = " ".join(f"{x:.4f}" for x in rng.randn(16))
+    lines.append(f"{w} {vec}")
+  wv_path = tmp_path / "vectors.txt"
+  wv_path.write_text("\n".join(lines) + "\n")
+  os.environ["MMT_TPU_WORD_VECTORS"] = str(wv_path)
+
+  cfg = make_config(root, data_dir, tmp_path / "wo2v")
+  cfg["trainer"].update({"epochs": 1, "max_samples_per_epoch": 8})
+  cfg["arch"]["args"].update({"txt_agg": "vlad", "txt_inp": "wo2vfrz"})
+  path = tmp_path / "wo2v.json"
+  path.write_text(json.dumps(cfg))
+  trainer = train_cli.main(["--config", str(path)])
+  assert (tmp_path / "wo2v" / "exp_completed_flag.txt").exists()
+  # pretrained table was injected ([PAD]/[UNK] rows zero) and stayed
+  # frozen (wo2vfrz)
+  table = np.asarray(trainer.params["word_embeddings"]["word_embeddings"])
+  assert np.all(table[:2] == 0)
+  np.testing.assert_array_equal(table, trainer.tokenizer.weights)
+
+
+def test_curriculum_two_train_sets(workspace, tmp_path):
+  """Pretrain->finetune curriculum: first train set used until its
+  until_epoch, then the second (trainer/trainer.py:137-143)."""
+  import sys
+  sys.path.insert(0, os.path.dirname(__file__))
+  import train as train_cli
+  from test_train_e2e import make_config
+
+  root, data_dir = workspace
+  cfg = make_config(root, data_dir, tmp_path / "curr")
+  cfg["trainer"].update({"epochs": 3, "max_samples_per_epoch": 8})
+  first = json.loads(json.dumps(cfg["train_sets"][0]))
+  first["args"]["until_epoch"] = 1
+  first["args"]["batch_size"] = 2
+  cfg["train_sets"] = [first, cfg["train_sets"][0]]
+  path = tmp_path / "curr.json"
+  path.write_text(json.dumps(cfg))
+  trainer = train_cli.main(["--config", str(path)])
+  assert (tmp_path / "curr" / "exp_completed_flag.txt").exists()
+  log = (tmp_path / "curr" / "log.txt").read_text()
+  # epoch 1 runs 4 batches of 2; epochs 2-3 run 2 batches of 4
+  assert "Train Epoch: 1 [1/4]" in log
+  assert "Train Epoch: 2 [1/2]" in log

@@ -17,7 +17,6 @@ import argparse
 import logging
 import os
 import random
-import sys
 
 import numpy as np
 
@@ -58,11 +57,11 @@ def frozen_param_mask(params, txt_agg: str, txt_inp: str):
     else:
       for i in range(spec.freeze_until):
         frozen_paths.append(("txt_bert", "encoder", f"layer_{i}"))
-  if txt_inp == "bertfrz":
+  if txt_inp.endswith("frz"):  # bertfrz / wo2vfrz / grvlfrz
     for sub in ("word_embeddings", "position_embeddings",
                 "token_type_embeddings", "embeddings_ln"):
       frozen_paths.append(("txt_bert", sub))
-    frozen_paths.append(("word_embeddings",))  # WeTokenizer path
+    frozen_paths.append(("word_embeddings",))  # word-embedding-table path
   if not frozen_paths:
     return None
 
@@ -100,7 +99,9 @@ def train(config):
   np.random.seed(seed)
 
   arch_args = dict(config.arch_args)
-  tokenizer = create_tokenizer(arch_args.get("txt_agg", "bertftn"))
+  # Tokenizer follows txt_inp (train.py:62 in the reference): bert* ->
+  # WordPiece; wo2v/grvl -> word-embedding tokenizer.
+  tokenizer = create_tokenizer(arch_args.get("txt_inp", "bertftn"))
 
   data_loaders = build_data_loaders(config, expert_dims, tokenizer)
 
@@ -110,6 +111,8 @@ def train(config):
     geom = dict(model_kwargs.get("text_bert_geometry") or {})
     if arch_args.get("txt_agg", "bert")[:4] != "bert":
       model_kwargs.setdefault("we_vocab_size", tokenizer.vocab_size)
+      if hasattr(tokenizer, "text_dim"):
+        model_kwargs.setdefault("we_dim", tokenizer.text_dim)
     elif "vocab_size" in geom or os.environ.get("MMT_TPU_BERT_VOCAB"):
       geom.setdefault("vocab_size", tokenizer.vocab_size)
       model_kwargs["text_bert_geometry"] = geom
@@ -144,6 +147,13 @@ def train(config):
       warmup_iterations=config["trainer"].get("warmup_iterations", -1),
       init_rng=jax.random.PRNGKey(seed))
 
+  # Pretrained word-embedding table for the wo2v/grvl text path
+  # (TxtEmbeddings.from_pretrained semantics, model/txt_embeddings.py:33-46).
+  if (hasattr(tokenizer, "weights")
+      and "word_embeddings" in trainer.params):
+    trainer.params["word_embeddings"]["word_embeddings"] = (
+        np.asarray(tokenizer.weights))
+
   # Apply the freeze mask now that params exist.
   mask = frozen_param_mask(trainer.params, arch_args.get("txt_agg", ""),
                            arch_args.get("txt_inp", ""))
@@ -177,9 +187,12 @@ def main(argv=None):
   config = config_lib.from_args(args)
 
   level = logging.DEBUG if args.verbose else logging.INFO
+  # force=True so a second experiment in the same process re-points the
+  # log file at its own exp dir (parse_config.py:103-117 behavior).
   logging.basicConfig(
       level=os.environ.get("LOGLEVEL", level),
       format="%(message)s",
+      force=True,
       handlers=[logging.FileHandler(config.save_dir / "log.txt"),
                 logging.StreamHandler()])
   logger.info("Experiment directory: %s", config.save_dir)
