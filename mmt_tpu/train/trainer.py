@@ -619,6 +619,9 @@ class Trainer:
         "n_steps": self.n_steps,
         "config": json.dumps(dict(self.config.raw)),
         "arch": type(self.model).__name__,
+        # Model RNG key: restored on restart so dropout streams continue
+        # exactly (the reference loses torch RNG state across --resume).
+        "rng": np.asarray(jax.random.key_data(self.rng)),
     }
     if self.include_optim_in_ckpts:
       state["opt_state"] = self.opt_state
@@ -666,6 +669,9 @@ class Trainer:
       self.n_samples = int(raw.get("n_samples", 0))
       self.n_steps = int(raw.get("n_steps", 0))
       self.mnt_best = float(raw.get("monitor_best", self.mnt_best))
+      if raw.get("rng") is not None:
+        self.rng = jax.random.wrap_key_data(
+            jnp.asarray(raw["rng"], dtype=jnp.uint32))
     else:
       # Warm start: non-strict load, counters reset
       # (base/base_trainer.py:452-462).

@@ -172,3 +172,23 @@ def test_loss_decreases(trained):
         losses.append(entry["loss"])
   assert len(losses) >= 2
   assert all(np.isfinite(l) for l in losses)
+
+
+def test_resume_restores_rng_stream(trained, tmp_path):
+  """Restart resume restores counters AND the model RNG key (exact
+  dropout-stream continuation — beyond the reference, which loses torch
+  RNG state across --resume)."""
+  import jax
+  import train as train_cli
+  trainer, exp_root, cfg_path, root, data_dir = trained
+  rng_before = jax.random.key_data(trainer.rng)
+
+  cfg = make_config(root, data_dir, exp_root)  # same exp dir => restart
+  cfg["trainer"]["epochs"] = 2                 # already done; eval only
+  cfg_path3 = root / "resume_cfg.json"
+  cfg_path3.write_text(json.dumps(cfg))
+  t2 = train_cli.main(["--resume", str(exp_root)])
+  assert t2.start_epoch == trainer.epoch + 1
+  assert t2.n_steps == trainer.n_steps
+  np.testing.assert_array_equal(
+      np.asarray(jax.random.key_data(t2.rng)), np.asarray(rng_before))
