@@ -29,7 +29,11 @@ def cols2metrics(cols, num_queries):
   metrics["MeanR"] = float(np.mean(cols) + 1)
   stats = [metrics[x] for x in ("R1", "R5", "R10")]
   metrics["geometric_mean_R1-R5-R10"] = float(scipy.stats.mstats.gmean(stats))
-  metrics["cols"] = [int(i) for i in list(cols)]
+  # The reference int()-casts every rank (model/metric.py:257), which would
+  # raise on the inf rank v2t assigns to a video whose captions are all
+  # masked; keep such ranks as floats instead of crashing the metrics path.
+  metrics["cols"] = [int(i) if np.isfinite(i) else float(i)
+                     for i in list(cols)]
   return metrics
 
 

@@ -386,10 +386,11 @@ class Trainer:
 
   def _select_train_set(self, epoch):
     """Curriculum: first train set whose until_epoch >= epoch
-    (trainer/trainer.py:137-143)."""
+    (trainer/trainer.py:137-143; hardened — the reference IndexErrors
+    past the last until_epoch, we keep using the final set)."""
     i = 0
     sets = self.data_loaders["train_sets"]
-    while sets[i].until_epoch < epoch:
+    while i < len(sets) - 1 and sets[i].until_epoch < epoch:
       i += 1
     return sets[i]
 

@@ -77,15 +77,16 @@ def test_curriculum_until_epoch(tmp_path):
   class FakeEntry:
     def __init__(self, until): self.until_epoch = until
 
+  import types
+
   from mmt_tpu.train.trainer import Trainer
-  sets = [FakeEntry(3), FakeEntry(float("inf"))]
-  picked = []
-  for epoch in (1, 3, 4, 10):
-    i = 0
-    while sets[i].until_epoch < epoch:
-      i += 1
-    picked.append(i)
-  assert picked == [0, 0, 1, 1]
+  sets = [FakeEntry(3), FakeEntry(7)]
+  self_like = types.SimpleNamespace(data_loaders={"train_sets": sets})
+  picked = [sets.index(Trainer._select_train_set(self_like, epoch))
+            for epoch in (1, 3, 4, 7, 10, 99)]
+  # Past the last until_epoch the final set keeps being used (the
+  # reference IndexErrors there, trainer/trainer.py:137-143).
+  assert picked == [0, 0, 1, 1, 1, 1]
 
 
 def test_bf16_eval_close_to_fp32(tiny_arch):

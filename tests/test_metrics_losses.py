@@ -82,6 +82,21 @@ def test_v2t_metrics(rng, device):
   np.testing.assert_allclose(m["cols"], base["cols"])
 
 
+@pytest.mark.parametrize("device", [False, True])
+def test_v2t_all_captions_masked(rng, device):
+  """A video whose captions are all masked gets an inf rank; the metrics
+  path must not crash on it (reference would: model/metric.py:257)."""
+  caps, nv = 2, 5
+  sims = rng.randn(nv * caps, nv).astype(np.float32)
+  masks = np.ones((nv, caps))
+  masks[3, :] = 0
+  m = metrics.v2t_metrics(sims, query_masks=masks, device=device)
+  assert len(m["cols"]) == nv
+  assert m["cols"][3] == float("inf")
+  assert all(isinstance(c, (int, float)) for c in m["cols"])
+  assert np.isinf(m["MeanR"])
+
+
 def test_v2t_min_over_captions():
   """v2t rank is the best rank among the video's own captions."""
   nv, caps = 3, 2
