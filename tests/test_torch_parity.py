@@ -148,6 +148,286 @@ def test_netvlad_matches_torch(rng):
   np.testing.assert_allclose(ours, theirs, rtol=2e-5, atol=2e-5)
 
 
+# ---------------------------------------------------------------------------
+# Full-model parity: the ENTIRE reference forward (model/model.py:312-661)
+# rebuilt with torch ops, fed the same weights through the checkpoint
+# converter, compared on the final similarity matrix.
+# ---------------------------------------------------------------------------
+
+
+def _t(sd, name):
+  return torch.tensor(np.asarray(sd[name]))
+
+
+def t_linear(sd, prefix, x):
+  return x @ _t(sd, f"{prefix}.weight").T + _t(sd, f"{prefix}.bias")
+
+
+def t_layer_norm(sd, prefix, x, eps=1e-12):
+  return torch.nn.functional.layer_norm(
+      x, (x.shape[-1],), _t(sd, f"{prefix}.weight"), _t(sd, f"{prefix}.bias"),
+      eps=eps)
+
+
+def t_bn_eval(sd, prefix, x):
+  return torch.nn.functional.batch_norm(
+      x, _t(sd, f"{prefix}.running_mean"), _t(sd, f"{prefix}.running_var"),
+      _t(sd, f"{prefix}.weight"), _t(sd, f"{prefix}.bias"),
+      training=False, eps=1e-5)
+
+
+def t_encoder(sd, prefix, x, bias, heads, ln_name, n_layers):
+  """Reference BertEncoder (model/bert.py:108-292): post-LN blocks,
+  erf-GELU, additive mask bias."""
+  import math
+  bsz, seq, hid = x.shape
+  for i in range(n_layers):
+    p = f"{prefix}.encoder.layer.{i}"
+    def proj(name):
+      y = t_linear(sd, f"{p}.attention.self.{name}", x)
+      return y.view(bsz, seq, heads, hid // heads).permute(0, 2, 1, 3)
+    q, k, v = proj("query"), proj("key"), proj("value")
+    scores = q @ k.transpose(-1, -2) / math.sqrt(hid // heads) + bias
+    ctx = (torch.softmax(scores, -1) @ v).permute(0, 2, 1, 3)
+    ctx = ctx.reshape(bsz, seq, hid)
+    attn = t_linear(sd, f"{p}.attention.output.dense", ctx)
+    x = t_layer_norm(sd, f"{p}.attention.output.{ln_name}", attn + x)
+    inter = torch_gelu(t_linear(sd, f"{p}.intermediate.dense", x))
+    out = t_linear(sd, f"{p}.output.dense", inter)
+    x = t_layer_norm(sd, f"{p}.output.{ln_name}", out + x)
+  return x
+
+
+def t_mask_bias(mask):
+  return ((1 - mask.float()) * -10000.0)[:, None, None, :]
+
+
+def t_geu(sd, prefix, x):
+  """GatedEmbeddingUnit eval path (model/model.py:683-750)."""
+  h = t_linear(sd, f"{prefix}.fc", x)
+  x1 = t_bn_eval(sd, f"{prefix}.cg.batch_norm",
+                 t_linear(sd, f"{prefix}.cg.fc", h))
+  glu = torch.nn.functional.glu(torch.cat((h, x1), -1), -1)
+  return torch.nn.functional.normalize(glu, dim=-1)
+
+
+def t_reduce_dim(sd, prefix, x):
+  return torch.nn.functional.normalize(
+      t_linear(sd, f"{prefix}.fc", x), dim=-1)
+
+
+def torch_full_cenet(sd, batch, arch, expert_dims, *, pos_enc, out_tok,
+                     keep_missing):
+  """Torch transcription of the full eval forward
+  (model/model.py:312-661) + sharded_cross_view_inner_product
+  (:789-837), merge='indep'.  Written against the reference semantics,
+  independent of the repo's flax code paths."""
+  mods = list(expert_dims.keys())
+  m = len(mods)
+  hid = arch["vid_bert_params"]["hidden_size"]
+  heads = arch["vid_bert_params"]["num_attention_heads"]
+  n_vid_layers = arch["vid_bert_params"]["num_hidden_layers"]
+  n_txt_layers = arch["text_bert_geometry"]["num_hidden_layers"]
+  max_pos = arch["vid_bert_params"]["max_position_embeddings"] - 1
+
+  token_ids = torch.tensor(batch["token_ids"])
+  b, k, t, _ = token_ids.shape
+
+  # ---- text tower (HF bert, post_agg='cls') ----
+  ids = token_ids.view(b * k, t, 2)
+  input_ids, attn = ids[:, :, 0].long(), ids[:, :, 1].long()
+  word = _t(sd, "txt_bert.embeddings.word_embeddings.weight")[input_ids]
+  pos = _t(sd, "txt_bert.embeddings.position_embeddings.weight")[
+      torch.arange(t)][None]
+  typ = _t(sd, "txt_bert.embeddings.token_type_embeddings.weight")[0]
+  emb = t_layer_norm(sd, "txt_bert.embeddings.LayerNorm", word + pos + typ)
+  last = t_encoder(sd, "txt_bert", emb, t_mask_bias(attn), heads,
+                   "LayerNorm", n_txt_layers)
+  text = last[:, 0]
+
+  text_embd = {mod: t_geu(sd, f"text_GU.{mod}", text).view(b, k, -1)
+               for mod in mods}
+
+  # MoE text weights from the raw text rep (model/model.py:262-283).
+  logits = torch.cat([t_linear(sd, f"moe_fc_txt.{mod}", text)
+                      for mod in mods], -1)
+  text_weights = torch.softmax(logits, 1).view(b, k, m)
+  text_weights = torch.nn.functional.normalize(text_weights, p=1, dim=-1)
+
+  # ---- video tower ----
+  ind = {mod: torch.tensor(batch["features_ind"][mod]).max(1).values
+         for mod in mods}
+  maxp = {mod: t_reduce_dim(sd, f"video_dim_reduce.{mod}",
+                            torch.tensor(batch["features_maxpool"][mod]))
+          for mod in mods}
+  mnp = {mod: t_reduce_dim(sd, f"video_dim_reduce.{mod}",
+                           torch.tensor(batch["features_avgpool"][mod]))
+         for mod in mods}
+  temp = {mod: t_reduce_dim(sd, f"video_dim_reduce.{mod}",
+                            torch.tensor(batch["features"][mod]))
+          for mod in mods}
+
+  # Token sequence: [CLS] + per modality ([AGG] + FEA frames)
+  # (model/model.py:485-567).
+  feats = [torch.zeros(b, 1, hid)]
+  types = [torch.zeros(b, 1, dtype=torch.long)]
+  positions = [torch.zeros(b, 1, dtype=torch.long)]
+  mask = [torch.ones(b, 1, dtype=torch.long)]
+  tok_map, tok_id = {}, 0
+  for mod in mods:
+    idx = expert_dims[mod]["idx"]
+    tok_id += 1
+    tok_map[mod] = tok_id
+    feats.append({"sep": torch.zeros(b, 1, hid),
+                  "mxp": maxp[mod][:, None],
+                  "mnp": mnp[mod][:, None]}[out_tok])
+    types.append(torch.full((b, 1), idx, dtype=torch.long))
+    positions.append(torch.zeros(b, 1, dtype=torch.long))
+    mask.append(ind[mod][:, None].long())
+    n_tok = temp[mod].shape[1]
+    feats.append(temp[mod])
+    types.append(torch.full((b, n_tok), idx, dtype=torch.long))
+    if pos_enc == "tint":
+      positions.append(torch.tensor(batch["features_t"][mod])
+                       .clamp(0, max_pos).long())
+    else:  # ordr
+      positions.append(torch.arange(1, n_tok + 1)[None].expand(b, n_tok))
+    mask.append(torch.tensor(batch["features_ind"][mod]).long())
+    tok_id += n_tok
+
+  feats = torch.cat(feats, 1)
+  types = torch.cat(types, 1)
+  positions = torch.cat(positions, 1)
+  mask = torch.cat(mask, 1)
+
+  pos_emb = _t(sd, "vid_bert.embeddings.position_embeddings.weight")[positions]
+  typ_emb = _t(sd, "vid_bert.embeddings.token_type_embeddings.weight")[types]
+  emb = t_layer_norm(sd, "vid_bert.embeddings.layer_norm",
+                     pos_emb + typ_emb + feats)
+  last = t_encoder(sd, "vid_bert", emb, t_mask_bias(mask), heads,
+                   "layer_norm", n_vid_layers)
+  experts = {mod: last[:, tok_map[mod]] for mod in mods}
+
+  vid_weights = torch.ones(b, m)
+  if not keep_missing:
+    vid_weights = vid_weights * torch.stack(
+        [ind[mod].float() for mod in mods], -1)
+  vid_weights = torch.nn.functional.normalize(vid_weights, p=1, dim=-1)
+
+  experts = {mod: torch.nn.functional.normalize(v, dim=-1)
+             for mod, v in experts.items()}
+  text_embd = {mod: torch.nn.functional.normalize(v, dim=-1)
+               for mod, v in text_embd.items()}
+
+  # sharded_cross_view_inner_product, merge='indep' (model/model.py:789-837).
+  tw = text_weights.view(b * k, m)
+  vw = vid_weights.view(b, m)
+  moe_w = vw[None, :, :] * tw[:, None, :]
+  norm_w = moe_w.sum(2, keepdim=True)
+  norm_w[norm_w == 0] = 1e-5
+  moe_w = moe_w / norm_w
+  sims = torch.zeros(b * k, b)
+  for i, mod in enumerate(mods):
+    sims += moe_w[:, :, i] * (text_embd[mod].view(b * k, -1)
+                              @ experts[mod].T)
+  return sims.numpy()
+
+
+def _synthetic_state_dict(params, stats, expert_dims, n_layers, rng):
+  """Random torch-style state dict covering every converter-mapped tensor
+  (shapes derived from the flax tree by inverting the mapping)."""
+  import sys
+  sys.path.insert(0, "scripts")
+  from convert_checkpoint import build_name_map
+
+  probe = {}
+  for tower in ("txt_bert", "vid_bert"):
+    probe[f"{tower}.encoder.layer.{n_layers - 1}.output.dense.weight"] = 0
+  for mod in expert_dims:
+    for wb in ("weight", "bias"):
+      probe[f"video_dim_reduce.{mod}.fc.{wb}"] = 0
+      probe[f"moe_fc_txt.{mod}.{wb}"] = 0
+    for leaf in ("fc.weight", "fc.bias", "cg.fc.weight", "cg.fc.bias",
+                 "cg.batch_norm.weight", "cg.batch_norm.bias",
+                 "cg.batch_norm.running_mean", "cg.batch_norm.running_var"):
+      probe[f"text_GU.{mod}.{leaf}"] = 0
+  params_map, stats_map = build_name_map(probe)
+
+  def lookup(tree, path):
+    node = tree
+    for key in path.split("/"):
+      if not isinstance(node, dict) or key not in node:
+        return None
+      node = node[key]
+    return np.asarray(node)
+
+  sd = {}
+  for torch_name, (path, transpose) in params_map.items():
+    leaf = lookup(params, path)
+    if leaf is None:
+      continue
+    arr = (rng.randn(*leaf.shape) * 0.2).astype(np.float32)
+    sd[torch_name] = arr.T if transpose else arr
+  for torch_name, path in stats_map.items():
+    leaf = lookup(stats, path)
+    if leaf is None:
+      continue
+    if torch_name.endswith("running_var"):
+      arr = (np.abs(rng.randn(*leaf.shape)) + 0.5).astype(np.float32)
+    else:
+      arr = (rng.randn(*leaf.shape) * 0.1).astype(np.float32)
+    sd[torch_name] = arr
+  return sd
+
+
+@pytest.mark.parametrize("pos_enc,out_tok,keep_missing",
+                         [("tint", "mxp", True), ("ordr", "sep", False)])
+def test_full_cenet_forward_matches_torch(tiny_arch, rng, pos_enc, out_tok,
+                                          keep_missing):
+  """End-to-end numerics parity: the whole eval forward (both towers, seq
+  assembly, MoE weights, norms, similarity) through the converter, vs an
+  independent torch transcription of model/model.py:312-661 + :789-837.
+  Fails if any normalization order, mask constant, or assembly index
+  differs."""
+  import sys
+  sys.path.insert(0, "scripts")
+  from convert_checkpoint import convert_state_dict
+  from mmt_tpu.models.cenet import CENet, similarity_from_outputs
+  from tests.conftest import make_batch
+
+  arch = dict(tiny_arch)
+  arch["vid_bert_params"] = dict(arch["vid_bert_params"],
+                                 hidden_dropout_prob=0.0,
+                                 attention_probs_dropout_prob=0.0)
+  arch["txt_bert_params"] = {"hidden_dropout_prob": 0.0,
+                             "attention_probs_dropout_prob": 0.0}
+  model = CENet(**arch, pos_enc=pos_enc, out_tok=out_tok,
+                keep_missing_modalities=keep_missing)
+  batch = make_batch(arch["expert_dims"], b=3, k=2, t=7, l=5)
+
+  variables = model.init(
+      {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+      batch, train=False)
+  params = variables["params"]
+  stats = variables.get("batch_stats", {})
+  n_layers = arch["vid_bert_params"]["num_hidden_layers"]
+  sd = _synthetic_state_dict(jax.tree_util.tree_map(np.asarray, params),
+                             jax.tree_util.tree_map(np.asarray, stats),
+                             arch["expert_dims"], n_layers, rng)
+  assert len(sd) > 60, f"state dict too small ({len(sd)})"
+  new_params, new_stats = convert_state_dict(dict(sd), params, stats)
+
+  out = model.apply({"params": new_params, "batch_stats": new_stats},
+                    batch, train=False)
+  ours = np.asarray(similarity_from_outputs(out, merge="indep"))
+
+  theirs = torch_full_cenet(sd, batch, arch, arch["expert_dims"],
+                            pos_enc=pos_enc, out_tok=out_tok,
+                            keep_missing=keep_missing)
+  assert ours.shape == theirs.shape == (6, 3)
+  np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
 def test_converter_name_mapping_roundtrip(tiny_arch, rng):
   """A reference-style state dict fully populates the flax tree and the
   converted model changes its output accordingly (i.e. tensors landed in
