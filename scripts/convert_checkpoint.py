@@ -125,6 +125,46 @@ def build_name_map(state_dict: Dict[str, np.ndarray]):
         stats_map[key] = f"{base}/mean"
       elif stat == "running_var":
         stats_map[key] = f"{base}/var"
+    m = re.match(r"video_GU\.(\w+)\.cg\.fc\.(weight|bias)", key)
+    if m:
+      mod, wb = m.groups()
+      params_map[key] = (f"video_gu_{mod}/cg/fc/"
+                         f"{'kernel' if wb == 'weight' else 'bias'}",
+                         wb == "weight")
+    m = re.match(r"video_GU\.(\w+)\.cg\.(batch_norm2?)\.(\w+)", key)
+    if m:
+      # Collaborative-gating reasoning path: batch_norm gates the mask,
+      # batch_norm2 gates Wx (model/model.py:765-786).
+      mod, bn, stat = m.groups()
+      base = f"video_gu_{mod}/cg/{bn}/bn"
+      if stat == "weight":
+        params_map[key] = (f"{base}/scale", False)
+      elif stat == "bias":
+        params_map[key] = (f"{base}/bias", False)
+      elif stat == "running_mean":
+        stats_map[key] = f"{base}/mean"
+      elif stat == "running_var":
+        stats_map[key] = f"{base}/var"
+    m = re.match(r"([gf]_reason_[12])\.(weight|bias)", key)
+    if m:
+      name, wb = m.groups()
+      params_map[key] = (f"{name}/{'kernel' if wb == 'weight' else 'bias'}",
+                         wb == "weight")
+    m = re.match(r"text_pooling\.fc\.(weight|bias)", key)
+    if m:
+      wb = m.group(1)
+      params_map[key] = (f"text_pooling/fc/"
+                         f"{'kernel' if wb == 'weight' else 'bias'}",
+                         wb == "weight")
+    # Pseudo-keys emitted by _split_lstm_tensors (torch fuses the 4 LSTM
+    # gates into one tensor; flax OptimizedLSTMCell keeps them separate).
+    m = re.match(r"text_pooling\.lstm\.l(\d+)\.([ih][ifgo])\.(kernel|bias)",
+                 key)
+    if m:
+      layer, gate, leaf = m.groups()
+      params_map[key] = (
+          f"text_pooling/OptimizedLSTMCell_{layer}/{gate}/{leaf}",
+          leaf == "kernel")
     m = re.match(r"moe_fc_(txt|vid)\.(\w+)\.(weight|bias)", key)
     if m:
       kind, mod, wb = m.groups()
@@ -174,12 +214,49 @@ def _set_path(tree: dict, path: str, value: np.ndarray, label: str):
   return True
 
 
+def _split_lstm_tensors(state_dict: Dict[str, np.ndarray]):
+  """Split torch's fused LSTM tensors into per-gate pseudo-keys.
+
+  torch nn.LSTM stores weight_ih_l<k> [4H, in] / weight_hh_l<k> [4H, H]
+  with gate rows ordered (i, f, g, o), and two bias vectors whose SUM is
+  the effective gate bias.  flax OptimizedLSTMCell keeps one dense per
+  gate (ii/if/ig/io input-side, no bias; hi/hf/hg/ho hidden-side, bias).
+  Both use i=sigmoid, f=sigmoid, g=tanh, o=sigmoid with c' = f*c + i*g,
+  so a per-chunk copy is exact (model/lstm.py:19-71).
+  """
+  gates = ("i", "f", "g", "o")
+  out = dict(state_dict)
+  for key in list(state_dict):
+    m = re.match(r"text_pooling\.lstm\.(weight|bias)_(ih|hh)_l(\d+)$", key)
+    if not m:
+      continue
+    kind, side, layer = m.groups()
+    arr = np.asarray(out.pop(key))
+    h = arr.shape[0] // 4
+    prefix = "i" if side == "ih" else "h"
+    for gi, gate in enumerate(gates):
+      chunk = arr[gi * h:(gi + 1) * h]
+      if kind == "weight":
+        out[f"text_pooling.lstm.l{layer}.{prefix}{gate}.kernel"] = chunk
+      else:
+        # Effective bias = bias_ih + bias_hh, stored on the hidden-side
+        # dense (the input-side flax dense has no bias).
+        name = f"text_pooling.lstm.l{layer}.h{gate}.bias"
+        out[name] = out.get(name, 0) + chunk
+  return out
+
+
 def convert_state_dict(state_dict: Dict[str, np.ndarray], params: dict,
                        batch_stats: dict):
-  """Fill (a deep copy of) the flax trees from the torch state dict."""
+  """Fill (a deep copy of) the flax trees from the torch state dict.
+
+  Returns (params, batch_stats, unmapped) where unmapped lists state-dict
+  tensors that had no live mapping (pooler / bookkeeping names excluded).
+  """
   import copy
   params = copy.deepcopy(jax_to_numpy(params))
   batch_stats = copy.deepcopy(jax_to_numpy(batch_stats))
+  state_dict = _split_lstm_tensors(state_dict)
   params_map, stats_map = build_name_map(state_dict)
 
   # Position-embedding transfer rule before shape checks.
@@ -209,13 +286,13 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray], params: dict,
         used += 1
     else:
       skipped.append(name)
-  for name in skipped:
-    if "pooler" in name or "num_batches_tracked" in name:
-      continue  # intentionally unused by the forward path
+  unmapped = [name for name in skipped
+              if "pooler" not in name and "num_batches_tracked" not in name]
+  for name in unmapped:
     logger.warning("no mapping for %s", name)
   logger.info("converted %d tensors (%d without mapping)", used,
               len(skipped))
-  return params, batch_stats
+  return params, batch_stats, unmapped
 
 
 def jax_to_numpy(tree):
@@ -253,7 +330,7 @@ def main():
       {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
       batch, train=False)
 
-  params, batch_stats = convert_state_dict(
+  params, batch_stats, _ = convert_state_dict(
       state_dict, variables["params"], variables.get("batch_stats", {}))
 
   state = {

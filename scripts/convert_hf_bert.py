@@ -78,7 +78,7 @@ def main():
 
   # Reuse the CENet converter with the txt_bert prefix: wrap the target
   # tree one level deep so the mapped paths line up.
-  params, _ = convert_state_dict(state_dict,
+  params, _, _ = convert_state_dict(state_dict,
                                  {"txt_bert": variables["params"]}, {})
   from flax import serialization
   with open(args.out, "wb") as f:

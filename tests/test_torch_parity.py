@@ -415,7 +415,9 @@ def test_full_cenet_forward_matches_torch(tiny_arch, rng, pos_enc, out_tok,
                              jax.tree_util.tree_map(np.asarray, stats),
                              arch["expert_dims"], n_layers, rng)
   assert len(sd) > 60, f"state dict too small ({len(sd)})"
-  new_params, new_stats = convert_state_dict(dict(sd), params, stats)
+  new_params, new_stats, unmapped = convert_state_dict(dict(sd), params,
+                                                       stats)
+  assert not unmapped, f"unmapped tensors: {unmapped}"
 
   out = model.apply({"params": new_params, "batch_stats": new_stats},
                     batch, train=False)
@@ -426,6 +428,97 @@ def test_full_cenet_forward_matches_torch(tiny_arch, rng, pos_enc, out_tok,
                             keep_missing=keep_missing)
   assert ours.shape == theirs.shape == (6, 3)
   np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+def test_converter_lstm_family_matches_torch(rng):
+  """torch nn.LSTM + fc (model/lstm.py:19-71) vs our LSTMPooler through
+  the converter's fused-gate split: same output to 1e-5."""
+  import sys
+  sys.path.insert(0, "scripts")
+  from convert_checkpoint import convert_state_dict
+
+  in_dim, hid, out_dim, b, t = 8, 12, 10, 4, 6
+  torch.manual_seed(0)
+  lstm = torch.nn.LSTM(in_dim, hid, 1, batch_first=True)
+  fc = torch.nn.Linear(hid, out_dim)
+  sd = {f"text_pooling.lstm.{k}": v.detach().numpy()
+        for k, v in lstm.named_parameters()}
+  sd["text_pooling.fc.weight"] = fc.weight.detach().numpy()
+  sd["text_pooling.fc.bias"] = fc.bias.detach().numpy()
+
+  pooler = C.LSTMPooler(hidden_dim=hid, output_dim=out_dim)
+  x = rng.randn(b, t, in_dim).astype(np.float32)
+  lengths = np.array([6, 3, 1, 5])
+  variables = pooler.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                          jnp.asarray(lengths))
+  wrapped, _, unmapped = convert_state_dict(
+      sd, {"text_pooling": variables["params"]}, {})
+  assert not unmapped, f"unmapped tensors: {unmapped}"
+  ours = np.asarray(pooler.apply({"params": wrapped["text_pooling"]},
+                                 jnp.asarray(x), jnp.asarray(lengths)))
+
+  with torch.no_grad():
+    packed = torch.nn.utils.rnn.pack_padded_sequence(
+        torch.tensor(x), torch.tensor(lengths), enforce_sorted=False,
+        batch_first=True)
+    _, (hn, _) = lstm(packed)
+    theirs = fc(hn[-1]).numpy()
+  np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+
+
+def test_converter_coll_family_roundtrip(tiny_arch, rng):
+  """A synthetic coll-path state dict (video_GU + g/f_reason,
+  model/model.py:109-135,753-786) converts with zero unmapped tensors and
+  lands in live leaves."""
+  import sys
+  sys.path.insert(0, "scripts")
+  from convert_checkpoint import convert_state_dict
+  from mmt_tpu.models.cenet import CENet
+  from tests.conftest import make_batch
+
+  arch = dict(tiny_arch, vid_cont="coll", vid_inp="agg", out_tok="mxp")
+  model = CENet(**arch)
+  batch = make_batch(arch["expert_dims"])
+  variables = model.init(
+      {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+      batch, train=False)
+  params, stats = variables["params"], variables["batch_stats"]
+  d = arch["same_dim"]
+
+  sd = {}
+  for name in ("g_reason_1", "f_reason_1", "f_reason_2", "g_reason_2"):
+    in_d = 2 * d if name == "g_reason_1" else d
+    sd[f"{name}.weight"] = rng.randn(d, in_d).astype(np.float32)
+    sd[f"{name}.bias"] = rng.randn(d).astype(np.float32)
+  for mod in arch["expert_dims"]:
+    sd[f"video_GU.{mod}.cg.fc.weight"] = rng.randn(d, d).astype(np.float32)
+    sd[f"video_GU.{mod}.cg.fc.bias"] = rng.randn(d).astype(np.float32)
+    for bn in ("batch_norm", "batch_norm2"):
+      sd[f"video_GU.{mod}.cg.{bn}.weight"] = rng.randn(d).astype(np.float32)
+      sd[f"video_GU.{mod}.cg.{bn}.bias"] = rng.randn(d).astype(np.float32)
+      sd[f"video_GU.{mod}.cg.{bn}.running_mean"] = (
+          rng.randn(d).astype(np.float32) * 0.1)
+      sd[f"video_GU.{mod}.cg.{bn}.running_var"] = (
+          np.abs(rng.randn(d)).astype(np.float32) + 0.5)
+      sd[f"video_GU.{mod}.cg.{bn}.num_batches_tracked"] = np.int64(7)
+
+  new_params, new_stats, unmapped = convert_state_dict(sd, params, stats)
+  assert not unmapped, f"unmapped tensors: {unmapped}"
+  np.testing.assert_array_equal(
+      np.asarray(new_params["g_reason_1"]["kernel"]),
+      sd["g_reason_1.weight"].T)
+  np.testing.assert_array_equal(
+      np.asarray(new_params["video_gu_rgb"]["cg"]["fc"]["kernel"]),
+      sd["video_GU.rgb.cg.fc.weight"].T)
+  np.testing.assert_array_equal(
+      np.asarray(new_stats["video_gu_rgb"]["cg"]["batch_norm2"]["bn"]["var"]),
+      sd["video_GU.rgb.cg.batch_norm2.running_var"])
+  # Converted weights flow into the forward.
+  out = model.apply({"params": new_params, "batch_stats": new_stats},
+                    batch, train=False)
+  before = model.apply(variables, batch, train=False)
+  assert not np.allclose(np.asarray(out["vid_embds"]),
+                         np.asarray(before["vid_embds"]))
 
 
 def test_converter_name_mapping_roundtrip(tiny_arch, rng):
@@ -480,7 +573,7 @@ def test_converter_name_mapping_roundtrip(tiny_arch, rng):
       filled += 1
   assert filled > 20, f"mapping found only {filled} targets"
 
-  new_params, new_stats = convert_state_dict(state_dict, params, stats)
+  new_params, new_stats, _ = convert_state_dict(state_dict, params, stats)
   out_before = model.apply(variables, batch, train=False)
   out_after = model.apply({"params": new_params, "batch_stats": new_stats},
                           batch, train=False)
