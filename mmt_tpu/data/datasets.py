@@ -266,15 +266,19 @@ class ExpertDataset:
     self.vid_list = vids
     self.num_train = len(vids)
 
+    # Shared cross-loader table cache (reference loaded_data semantics,
+    # base/base_dataset.py:283-296): one dict created in train.py and
+    # passed through every loader so challenge pkl tables load once.
     self.restrict_test_captions = None
     if cut.restrict_test_captions_file:
       self.restrict_test_captions = memcache(
-          pathlib.Path(data_dir) / cut.restrict_test_captions_file)
+          pathlib.Path(data_dir) / cut.restrict_test_captions_file,
+          loaded_data)
 
     if cut.reader == "pkl":
       expert_paths = discover_expert_paths(data_dir)
       self.reader = PklReader(data_dir, expert_paths, self.experts,
-                              split_name=split_name)
+                              split_name=split_name, cache=loaded_data)
     else:
       cache_dir = os.path.join(os.path.dirname(str(data_dir)),
                                "vid_feat_files", "mult_h5")

@@ -27,8 +27,19 @@ from mmt_tpu.experts import EXPERT_REGISTRY, ExpertSpec, feature_timings
 logger = logging.getLogger(__name__)
 
 
-def memcache(path):
-  """Load a .pkl/.pickle/.npy file (utils/util.py:96-151 semantics)."""
+def memcache(path, cache=None):
+  """Load a .pkl/.pickle/.npy file (utils/util.py:96-151 semantics).
+
+  ``cache`` is an optional path-keyed dict shared across loaders (the
+  reference's ``loaded_data``, base/base_dataset.py:283-296): the same
+  table is read from disk once even when train/continuous/final-eval
+  splits all need it.
+  """
+  if cache is not None:
+    key = str(path)
+    if key not in cache:
+      cache[key] = memcache(path)
+    return cache[key]
   suffix = pathlib.Path(path).suffix
   if suffix in {".pkl", ".pickle"}:
     with open(path, "rb") as f:
@@ -124,13 +135,14 @@ class PklReader:
   """Aggregated-pickle reader (challenge layout,
   base/base_dataset.py:499-562)."""
 
-  def __init__(self, data_dir, expert_paths, experts, split_name="train"):
+  def __init__(self, data_dir, expert_paths, experts, split_name="train",
+               cache=None):
     self.data_dir = pathlib.Path(data_dir)
     self.expert_paths = expert_paths
     self.experts = list(experts)
     cap_key = ("raw_captions_test2" if split_name == "test2"
                else "raw_captions")
-    self._captions = memcache(self.data_dir / expert_paths[cap_key])
+    self._captions = memcache(self.data_dir / expert_paths[cap_key], cache)
     self._tables: Dict[str, Dict[str, dict]] = {}
     for expert in self.experts:
       if expert not in expert_paths:
@@ -138,7 +150,7 @@ class PklReader:
         continue
       self._tables[expert] = {}
       for agg, rel in expert_paths[expert].items():
-        self._tables[expert][agg] = memcache(self.data_dir / rel)
+        self._tables[expert][agg] = memcache(self.data_dir / rel, cache)
 
   def read(self, vid: str) -> VideoRecord:
     raw = self._captions[vid]

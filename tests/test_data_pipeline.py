@@ -147,3 +147,30 @@ def test_mix_dataset_weights(corpus):
   np.testing.assert_allclose(mix.mix_weights, [0.75, 0.25])
   s = mix[0]
   assert s["text_tensors"]["token_ids"].shape[-2:] == (12, 2)
+
+
+def test_loaded_data_shares_pkl_tables_across_loaders(tmp_path):
+  """Challenge pkl tables are read from disk once and shared across
+  splits via the loaded_data dict (base/base_dataset.py:283-296)."""
+  from mmt_tpu.data import synthetic
+  from mmt_tpu.data.datasets import ExpertDataset
+
+  data_dir = synthetic.generate(tmp_path, num_videos=6, num_test=3,
+                                experts={"i3d": 16}, captions_per_video=2,
+                                cut="c")
+  dims = {"i3d": {"dim": 16, "idx": 5}}
+  loaded = {}
+  ds1 = ExpertDataset(dataset_name="MSRVTT", cut_name="c",
+                      split_name="trainval", data_dir=str(data_dir),
+                      raw_input_dims=dims, training=True,
+                      loaded_data=loaded)
+  n_tables = len(loaded)
+  assert n_tables >= 2, "expected captions + feature tables in the cache"
+  ds2 = ExpertDataset(dataset_name="MSRVTT", cut_name="c",
+                      split_name="val", data_dir=str(data_dir),
+                      raw_input_dims=dims, training=False,
+                      loaded_data=loaded)
+  assert len(loaded) == n_tables, "second loader re-read tables from disk"
+  assert ds1.reader._captions is ds2.reader._captions
+  assert (ds1.reader._tables["i3d"]["fixed_seg"]
+          is ds2.reader._tables["i3d"]["fixed_seg"])
