@@ -46,6 +46,62 @@ def write_vocab(path):
   return path
 
 
+def write_large_vocab(path, seed: int = 0, n_words: int = 8000,
+                      n_pieces: int = 4000):
+  """A bert-base-cased-scale adversarial WordPiece vocab (10k+ entries).
+
+  Stands in for the real 28,996-entry vocab
+  (/root/reference/utils/nlp_utils.py:19-42; the asset cannot enter this
+  environment): [unused] slots, full ASCII chars, ##-continuations,
+  accented/CJK/Cyrillic/Greek tokens, so tokenizer parity is exercised at
+  realistic scale and edge-case density.
+  """
+  rng = np.random.RandomState(seed)
+  tokens = ["[PAD]"]
+  tokens += [f"[unused{i}]" for i in range(99)]
+  tokens += ["[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+  # single characters: printable ASCII + a unicode spread
+  tokens += [chr(c) for c in range(33, 127)]
+  tokens += list("àáâäæçèéêëìíîïñòóôöùúûüýÿßœ")
+  tokens += [chr(c) for c in range(0x4E00, 0x4E00 + 64)]     # CJK
+  tokens += [chr(c) for c in range(0x0430, 0x0450)]          # Cyrillic
+  tokens += [chr(c) for c in range(0x03B1, 0x03C9)]          # Greek
+  # synthetic word stock (deterministic letter n-grams)
+  consonants = "bcdfghjklmnpqrstvwz"
+  vowels = "aeiouy"
+  seen = set(tokens)
+  def syllable():
+    return (consonants[rng.randint(len(consonants))]
+            + vowels[rng.randint(len(vowels))])
+  words = []
+  while len(words) < n_words:
+    w = "".join(syllable() for _ in range(rng.randint(1, 4)))
+    if rng.rand() < 0.3:
+      w = w.capitalize()
+    if w not in seen:
+      seen.add(w)
+      words.append(w)
+  tokens += words
+  # continuation pieces, incl. unicode ones
+  suffixes = ["ing", "er", "ed", "s", "es", "ly", "tion", "ment", "ness"]
+  pieces = []
+  for s in suffixes:
+    pieces.append(f"##{s}")
+  while len(pieces) < n_pieces:
+    p = "##" + "".join(syllable() for _ in range(rng.randint(1, 3)))
+    if p not in seen and p not in pieces:
+      pieces.append(p)
+  pieces += ["##é", "##ü", "##ß", "##'", "##-"]
+  tokens += [p for p in dict.fromkeys(pieces)]
+  # a handful of accented full words
+  tokens += ["café", "über", "naïve", "résumé", "señor"]
+  path = pathlib.Path(path)
+  path.parent.mkdir(parents=True, exist_ok=True)
+  with open(path, "w", encoding="utf-8") as f:
+    f.write("\n".join(dict.fromkeys(tokens)) + "\n")
+  return path
+
+
 def generate(root, num_videos: int = 32, num_test: int = 8,
              experts: Optional[Dict[str, int]] = None,
              captions_per_video: int = 3, max_feats: int = 12,

@@ -163,6 +163,30 @@ class WordPiece:
     return pieces
 
 
+SPECIAL_TOKENS = (PAD_TOKEN, UNK_TOKEN, CLS_TOKEN, SEP_TOKEN, MASK_TOKEN)
+
+
+def _split_on_specials(text: str, specials: Sequence[str]):
+  """Yield (chunk, is_special) splitting on special-token literals
+  anywhere in the text (HF PreTrainedTokenizer trie-split semantics:
+  case-sensitive, before lower-casing, mid-word matches allowed)."""
+  pos = 0
+  while pos < len(text):
+    nxt, tok = None, None
+    for s in specials:
+      i = text.find(s, pos)
+      if i != -1 and (nxt is None or i < nxt
+                      or (i == nxt and len(s) > len(tok))):
+        nxt, tok = i, s
+    if nxt is None:
+      yield text[pos:], False
+      return
+    if nxt > pos:
+      yield text[pos:nxt], False
+    yield tok, True
+    pos = nxt + len(tok)
+
+
 class WordPieceTokenizer:
   """BERT-compatible tokenizer over a vocab.txt file."""
 
@@ -177,9 +201,23 @@ class WordPieceTokenizer:
     self.basic = BasicTokenizer(do_lower_case=do_lower_case)
     self.wordpiece = WordPiece(self.vocab)
     self.vocab_size = len(self.vocab)
+    self._specials = [t for t in SPECIAL_TOKENS if t in self.vocab]
     self._native = _load_native(vocab_file, do_lower_case)
 
   def tokenize(self, text: str) -> List[str]:
+    # Special-token literals pass through verbatim, matched anywhere in
+    # the raw text (HF tokens_trie behavior).
+    if any(s in text for s in self._specials):
+      out: List[str] = []
+      for chunk, is_special in _split_on_specials(text, self._specials):
+        if is_special:
+          out.append(chunk)
+        else:
+          out.extend(self._tokenize_chunk(chunk))
+      return out
+    return self._tokenize_chunk(text)
+
+  def _tokenize_chunk(self, text: str) -> List[str]:
     # The native path implements the ASCII subset of BERT basic
     # tokenization; non-ASCII text takes the full-Unicode Python path.
     if self._native is not None and text.isascii():

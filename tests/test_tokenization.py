@@ -73,3 +73,79 @@ def test_we_tokenizer(tmp_path):
   assert tok.tokenize("the Man runs! fast") == ["man", "runs"]
   assert tok.tokenize("zzz") == ["[UNK]"]
   assert tok.convert_tokens_to_ids(["man", "runs"]) == [2, 4]
+
+
+# ---------------------------------------------------------------------------
+# Realistic-scale parity: 12k+ adversarial vocab, fuzzed sentences
+# (the real 28,996-entry bert-base-cased vocab cannot enter this env;
+# utils/nlp_utils.py:19-42 is the reference usage).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def large_vocab_file(tmp_path_factory):
+  from mmt_tpu.data import synthetic
+  return synthetic.write_large_vocab(
+      tmp_path_factory.mktemp("big_vocab") / "vocab.txt")
+
+
+@pytest.fixture(scope="module")
+def big_ours(large_vocab_file):
+  return tokenization.WordPieceTokenizer(large_vocab_file,
+                                         do_lower_case=True)
+
+
+@pytest.fixture(scope="module")
+def big_theirs(large_vocab_file):
+  transformers = pytest.importorskip("transformers")
+  return transformers.BertTokenizer(str(large_vocab_file),
+                                    do_lower_case=True)
+
+
+def test_large_vocab_scale(big_ours):
+  assert len(big_ours.vocab) > 12000
+
+
+def test_fuzzed_sentences_match_hf(big_ours, big_theirs):
+  """300 fuzzed sentences built from vocab words + adversarial noise:
+  tokens AND ids must match HF exactly."""
+  rng = np.random.RandomState(0)
+  words = [w for w in big_ours.vocab
+           if not w.startswith(("##", "[")) and len(w) > 1]
+  noise = ["don't", "state-of-the-art", "...", "é!ü", "中文字符",
+           "привет", "αλφα", "x" * 120, "CAFÉ", "über-cool",
+           "a.b,c;d", "\t tabs \t", "eé́combining",
+           "[CLS]", "1234", "12.5%", "''quoted''"]
+  for _ in range(300):
+    n = rng.randint(1, 12)
+    parts = [words[rng.randint(len(words))] for _ in range(n)]
+    # random corruption: casing, concat with suffix pieces, noise splice
+    for i in range(len(parts)):
+      r = rng.rand()
+      if r < 0.2:
+        parts[i] = parts[i].upper()
+      elif r < 0.35:
+        parts[i] = parts[i] + rng.choice(["ing", "er", "ed", "s"])
+      elif r < 0.45:
+        parts[i] = parts[i] + rng.choice([".", ",", "!", "?", "'s"])
+    if rng.rand() < 0.5:
+      parts.insert(rng.randint(len(parts) + 1),
+                   noise[rng.randint(len(noise))])
+    text = " ".join(parts)
+    ours_toks = big_ours.tokenize(text)
+    theirs_toks = big_theirs.tokenize(text)
+    assert ours_toks == theirs_toks, f"tokens diverge on: {text!r}"
+    assert (big_ours.convert_tokens_to_ids(ours_toks)
+            == big_theirs.convert_tokens_to_ids(theirs_toks)), (
+                f"ids diverge on: {text!r}")
+
+
+@pytest.mark.parametrize("text", [
+    "[CLS] plain prefix", "x[CLS]y", "a [SEP]b", "[unused0] word",
+    "[MASK][MASK]", "[cls] lowercase is not special", "pre[PAD]post",
+    "[UNK]token", "no specials at all",
+])
+def test_special_token_literals_match_hf(big_ours, big_theirs, text):
+  """HF trie-splits special-token literals anywhere in raw text
+  (case-sensitive, before lower-casing); ours must match."""
+  assert big_ours.tokenize(text) == big_theirs.tokenize(text)
