@@ -30,8 +30,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def maybe_initialize_distributed():
-  """Multi-host: initialize the JAX distributed runtime if configured."""
+  """Multi-host: initialize the JAX distributed runtime if configured.
+
+  On the CPU backend cross-process collectives need an explicit transport;
+  default to gloo (override with MMT_TPU_CPU_COLLECTIVES) — this is also
+  how the 2-process smoke test runs without TPU hardware
+  (tests/test_parallel.py).
+  """
   if os.environ.get("MMT_TPU_COORDINATOR"):
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+      jax.config.update(
+          "jax_cpu_collectives_implementation",
+          os.environ.get("MMT_TPU_CPU_COLLECTIVES", "gloo"))
     jax.distributed.initialize(
         coordinator_address=os.environ["MMT_TPU_COORDINATOR"],
         num_processes=int(os.environ.get("MMT_TPU_NUM_PROCESSES", "1")),

@@ -104,3 +104,65 @@ def test_sharded_train_step_runs_and_updates(tiny_arch):
 def test_dryrun_multichip_entrypoint():
   import __graft_entry__
   __graft_entry__.dryrun_multichip(8)
+
+
+def test_two_process_distributed_matches_single_process(tmp_path):
+  """maybe_initialize_distributed: 2 local processes x 4 virtual CPU
+  devices run one DP train step over the global 8-device mesh; loss and
+  post-update params must match the identical single-process program
+  (DESIGN.md multi-host claim, mesh.py:32-55)."""
+  import os
+  import re
+  import socket
+  import subprocess
+  import sys
+
+  worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+  repo = os.path.dirname(os.path.dirname(os.path.abspath(worker)))
+
+  with socket.socket() as s:
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+
+  def env_for(n_local, proc_id=None, n_procs=None):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    flags.append(f"--xla_force_host_platform_device_count={n_local}")
+    env["XLA_FLAGS"] = " ".join(flags)
+    if proc_id is not None:
+      env["MMT_TPU_COORDINATOR"] = f"localhost:{port}"
+      env["MMT_TPU_NUM_PROCESSES"] = str(n_procs)
+      env["MMT_TPU_PROCESS_ID"] = str(proc_id)
+    else:
+      env.pop("MMT_TPU_COORDINATOR", None)
+    return env
+
+  def parse(out):
+    m = re.search(r"RESULT loss=([\d.]+) n_devices=(\d+) "
+                  r"fingerprint=([\d.]+)", out)
+    assert m, f"worker produced no RESULT line:\n{out[-3000:]}"
+    return float(m.group(1)), int(m.group(2)), float(m.group(3))
+
+  procs = [subprocess.Popen([sys.executable, worker], env=env_for(4, i, 2),
+                            cwd=repo, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+           for i in range(2)]
+  outs = [p.communicate(timeout=900)[0] for p in procs]
+  for p, out in zip(procs, outs):
+    assert p.returncode == 0, f"worker rc={p.returncode}:\n{out[-3000:]}"
+
+  single = subprocess.run([sys.executable, worker], env=env_for(8),
+                          cwd=repo, stdout=subprocess.PIPE,
+                          stderr=subprocess.STDOUT, text=True, timeout=900)
+  assert single.returncode == 0, single.stdout[-3000:]
+
+  loss0, n0, fp0 = parse(outs[0])
+  loss1, n1, fp1 = parse(outs[1])
+  loss_s, n_s, fp_s = parse(single.stdout)
+  assert n0 == n1 == n_s == 8
+  assert loss0 == loss1 and fp0 == fp1, "processes disagree"
+  np.testing.assert_allclose(loss0, loss_s, rtol=1e-6)
+  np.testing.assert_allclose(fp0, fp_s, rtol=1e-6)
