@@ -93,7 +93,7 @@ def v2t_ranks(sims, query_masks):
 
 
 def _rank_kernel(t_ref, v_ref, tw_ref, vw_ref, gt_ref, gtcol_ref,
-                 nvalid_ref, closer_ref, tied_ref):
+                 colbias_ref, nvalid_ref, closer_ref, tied_ref):
   j = pl.program_id(1)
 
   @pl.when(j == 0)
@@ -101,8 +101,8 @@ def _rank_kernel(t_ref, v_ref, tw_ref, vw_ref, gt_ref, gtcol_ref,
     closer_ref[:] = jnp.zeros_like(closer_ref)
     tied_ref[:] = jnp.zeros_like(tied_ref)
 
-  t = t_ref[:].astype(jnp.float32)       # [TQ, M*D] weight-scaled text
-  v = v_ref[:].astype(jnp.float32)       # [TV, M*D] weight-scaled video
+  t = t_ref[:].astype(jnp.float32)       # [TQ, M*D] weight-scaled queries
+  v = v_ref[:].astype(jnp.float32)       # [TV, M*D] weight-scaled cands
   tw = tw_ref[:].astype(jnp.float32)     # [TQ, M]
   vw = vw_ref[:].astype(jnp.float32)     # [TV, M]
   numer = jax.lax.dot_general(t, v, (((1,), (1,)), ((), ())),
@@ -110,6 +110,9 @@ def _rank_kernel(t_ref, v_ref, tw_ref, vw_ref, gt_ref, gtcol_ref,
   denom = jax.lax.dot_general(tw, vw, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
   sims = numer / jnp.where(denom == 0, 1e-5, denom)   # [TQ, TV]
+  # Per-candidate additive bias: 0 for live candidates, -MISSING_VAL for
+  # masked caption slots in the v2t orientation (model/metric.py:186).
+  sims = sims + colbias_ref[:]
 
   # Candidate mask: real columns only, and the GT column excluded *by
   # index* — its self-tie contributes exactly (1-1)/2 = 0 to the rank,
@@ -132,55 +135,43 @@ def _round_up(x, m):
   return ((x + m - 1) // m) * m
 
 
-@jax.jit
-def fused_t2v_ranks(text_embds, vid_embds, text_weights, vid_weights):
-  """Tie-averaged t2v GT ranks straight from embeddings (no sims matrix).
+def _fused_counts(queries, cands, qw, cw, gt, gtcol, colbias):
+  """(closer, tied) counts for each query against all candidates.
 
-  Args as in mmt_tpu.ops.similarity.moe_similarity; Q = V * caps.
-  Returns fp32 ranks [Q], matching
-  ``t2v_ranks(moe_similarity(..., merge='indep'))`` (the GT column is
-  excluded by index, so the self-tie is exact; cross-column ties agree up
-  to matmul rounding of the GT value).
+  queries/cands: weight-scaled [N, M*D] fp32; qw/cw: [N, M] weights;
+  gt: [Nq] ground-truth similarity; gtcol: [Nq] candidate index excluded
+  per query (-1 = none); colbias: [Nc] additive per-candidate bias
+  (-MISSING_VAL marks dead caption slots).  Pallas tiles: the [Nq, Nc]
+  similarity matrix lives only in VMEM, tile by tile.
   """
-  q, m, d = text_embds.shape
-  v = vid_embds.shape[0]
-  qu = q // v
-  tw = text_weights.astype(jnp.float32)
-  vw = vid_weights.astype(jnp.float32)
-  t = (text_embds.astype(jnp.float32) * tw[:, :, None]).reshape(q, m * d)
-  vv = (vid_embds.astype(jnp.float32) * vw[:, :, None]).reshape(v, m * d)
-
-  # Ground-truth similarity per query, computed directly on the matched
-  # pairs (O(Q M D), no matrix).
-  gt_col = jnp.arange(q) // qu
-  gt_numer = jnp.sum(t * vv[gt_col], axis=1)
-  gt_denom = jnp.sum(tw * vw[gt_col], axis=1)
-  gt = gt_numer / jnp.where(gt_denom == 0, 1e-5, gt_denom)     # [Q]
+  nq, k = queries.shape
+  nc = cands.shape[0]
+  m = qw.shape[1]
 
   # Tile sizes sized for VMEM: 2 double-buffered operand tiles of
   # [tile, M*D] fp32 must fit in ~16 MB (M*D is 3584 for the 7-expert
   # flagship).
-  tile_q = min(_round_up(q, 8), 128)
-  tile_v = min(_round_up(v, 128), 256)
-  qp, vp = _round_up(q, tile_q), _round_up(v, tile_v)
-  t = jnp.pad(t, ((0, qp - q), (0, 0)))
-  vv = jnp.pad(vv, ((0, vp - v), (0, 0)))
-  tw_p = jnp.pad(tw, ((0, qp - q), (0, 0)))
-  vw_p = jnp.pad(vw, ((0, vp - v), (0, 0)))
-  gt_p = jnp.pad(gt, (0, qp - q))[:, None]
-  # padded queries get gt_col -1 (no column excluded; their rank is cut)
-  gtcol_p = jnp.pad(gt_col.astype(jnp.int32), (0, qp - q),
+  tile_q = min(_round_up(nq, 8), 128)
+  tile_v = min(_round_up(nc, 128), 256)
+  qp, vp = _round_up(nq, tile_q), _round_up(nc, tile_v)
+  t = jnp.pad(queries, ((0, qp - nq), (0, 0)))
+  vv = jnp.pad(cands, ((0, vp - nc), (0, 0)))
+  qw_p = jnp.pad(qw, ((0, qp - nq), (0, 0)))
+  cw_p = jnp.pad(cw, ((0, vp - nc), (0, 0)))
+  gt_p = jnp.pad(gt, (0, qp - nq))[:, None]
+  gtcol_p = jnp.pad(gtcol.astype(jnp.int32), (0, qp - nq),
                     constant_values=-1)[:, None]
-  nvalid = jnp.asarray([v], jnp.int32)
+  colbias_p = jnp.pad(colbias.astype(jnp.float32), (0, vp - nc))[None, :]
+  nvalid = jnp.asarray([nc], jnp.int32)
 
   grid = (qp // tile_q, vp // tile_v)
   closer, tied = pl.pallas_call(
       _rank_kernel,
       grid=grid,
       in_specs=[
-          pl.BlockSpec((tile_q, m * d), lambda i, j: (i, 0),
+          pl.BlockSpec((tile_q, k), lambda i, j: (i, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((tile_v, m * d), lambda i, j: (j, 0),
+          pl.BlockSpec((tile_v, k), lambda i, j: (j, 0),
                        memory_space=pltpu.VMEM),
           pl.BlockSpec((tile_q, m), lambda i, j: (i, 0),
                        memory_space=pltpu.VMEM),
@@ -189,6 +180,8 @@ def fused_t2v_ranks(text_embds, vid_embds, text_weights, vid_weights):
           pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0),
                        memory_space=pltpu.VMEM),
           pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, tile_v), lambda i, j: (0, j),
                        memory_space=pltpu.VMEM),
           pl.BlockSpec(memory_space=pltpu.SMEM),
       ],
@@ -202,7 +195,122 @@ def fused_t2v_ranks(text_embds, vid_embds, text_weights, vid_weights):
           jax.ShapeDtypeStruct((qp, 1), jnp.float32),
           jax.ShapeDtypeStruct((qp, 1), jnp.float32),
       ),
-  )(t, vv, tw_p, vw_p, gt_p, gtcol_p, nvalid)
+  )(t, vv, qw_p, cw_p, gt_p, gtcol_p, colbias_p, nvalid)
+  return closer[:nq, 0], tied[:nq, 0]
+
+
+def _chunked_counts(queries, cands, qw, cw, gt, gtcol, colbias,
+                    chunk: int = 4096):
+  """XLA fallback for _fused_counts: candidate-chunked two-comparison
+  passes, so at most [Nq, chunk] of the similarity matrix exists at a
+  time (used off-TPU; same semantics as the Pallas kernel)."""
+  nq = queries.shape[0]
+  nc = cands.shape[0]
+  closer = jnp.zeros((nq,), jnp.float32)
+  tied = jnp.zeros((nq,), jnp.float32)
+  for s in range(0, nc, chunk):
+    c = cands[s:s + chunk]
+    w = cw[s:s + chunk]
+    numer = queries @ c.T
+    denom = qw @ w.T
+    sims = numer / jnp.where(denom == 0, 1e-5, denom)
+    sims = sims + colbias[s:s + chunk][None, :]
+    col = s + jnp.arange(c.shape[0])
+    valid = col[None, :] != gtcol[:, None]
+    closer += jnp.sum(jnp.where(valid & (sims > gt[:, None]), 1.0, 0.0), 1)
+    tied += jnp.sum(jnp.where(valid & (sims == gt[:, None]), 1.0, 0.0), 1)
+  return closer, tied
+
+
+def _scaled_flat(embds, weights):
+  n, m, d = embds.shape
+  w = weights.astype(jnp.float32)
+  return (embds.astype(jnp.float32) * w[:, :, None]).reshape(n, m * d), w
+
+
+def _gt_sims(queries, cands, qw, cw, gtcol):
+  """Direct GT similarity per query (O(N M D), no matrix)."""
+  numer = jnp.sum(queries * cands[gtcol], axis=1)
+  denom = jnp.sum(qw * cw[gtcol], axis=1)
+  return numer / jnp.where(denom == 0, 1e-5, denom)
+
+
+@jax.jit
+def fused_t2v_ranks(text_embds, vid_embds, text_weights, vid_weights):
+  """Tie-averaged t2v GT ranks straight from embeddings (no sims matrix).
+
+  Args as in mmt_tpu.ops.similarity.moe_similarity; Q = V * caps.
+  Returns fp32 ranks [Q], matching
+  ``t2v_ranks(moe_similarity(..., merge='indep'))`` (the GT column is
+  excluded by index, so the self-tie is exact; cross-column ties agree up
+  to matmul rounding of the GT value).
+  """
+  q = text_embds.shape[0]
+  v = vid_embds.shape[0]
+  t, tw = _scaled_flat(text_embds, text_weights)
+  vv, vw = _scaled_flat(vid_embds, vid_weights)
+  gt_col = jnp.arange(q) // (q // v)
+  gt = _gt_sims(t, vv, tw, vw, gt_col)
+  closer, tied = _fused_counts(t, vv, tw, vw, gt, gt_col,
+                               jnp.zeros((v,), jnp.float32))
   # GT column excluded by index: rank = closer + tied/2 (the self-tie's
   # (1-1)/2 = 0 contribution is already accounted for).
-  return closer[:q, 0] + tied[:q, 0] / 2.0
+  return closer + tied / 2.0
+
+
+def _v2t_ranks_from_counts(count_fn, text_embds, vid_embds, text_weights,
+                           vid_weights, query_masks):
+  q = text_embds.shape[0]
+  v = vid_embds.shape[0]
+  cpv = q // v
+  t_cand, tw = _scaled_flat(text_embds, text_weights)
+  v_query, vw = _scaled_flat(vid_embds, vid_weights)
+  mask_flat = query_masks.reshape(-1).astype(bool)
+  colbias = jnp.where(mask_flat, 0.0, -MISSING_VAL)  # dead caption slots
+  best = jnp.full((v,), jnp.inf, jnp.float32)
+  for j in range(cpv):   # cpv is small and static
+    gt_col = jnp.arange(v) * cpv + j
+    gt = _gt_sims(v_query, t_cand, vw, tw, gt_col)
+    closer, tied = count_fn(v_query, t_cand, vw, tw, gt, gt_col, colbias)
+    rank_j = closer + tied / 2.0
+    best = jnp.minimum(best, jnp.where(mask_flat[gt_col], rank_j, jnp.inf))
+  return best
+
+
+@jax.jit
+def fused_v2t_ranks(text_embds, vid_embds, text_weights, vid_weights,
+                    query_masks):
+  """Min tie-averaged rank of each video's own captions among all caption
+  slots, straight from embeddings — the v2t orientation of the fused
+  kernel (matches ``v2t_ranks(moe_similarity(..., merge='indep'), masks)``
+  up to matmul rounding of near-ties; masked caption slots are biased to
+  -MISSING_VAL so they never outrank live ones, model/metric.py:186)."""
+  return _v2t_ranks_from_counts(_fused_counts, text_embds, vid_embds,
+                                text_weights, vid_weights, query_masks)
+
+
+def t2v_ranks_from_embeddings(text_embds, vid_embds, text_weights,
+                              vid_weights):
+  """Backend dispatch: Pallas on TPU, candidate-chunked XLA elsewhere.
+  Either way the [Q, V] similarity matrix is never materialized in HBM."""
+  if jax.default_backend() == "tpu":
+    return fused_t2v_ranks(text_embds, vid_embds, text_weights, vid_weights)
+  q = text_embds.shape[0]
+  v = vid_embds.shape[0]
+  t, tw = _scaled_flat(text_embds, text_weights)
+  vv, vw = _scaled_flat(vid_embds, vid_weights)
+  gt_col = jnp.arange(q) // (q // v)
+  gt = _gt_sims(t, vv, tw, vw, gt_col)
+  closer, tied = _chunked_counts(t, vv, tw, vw, gt, gt_col,
+                                 jnp.zeros((v,), jnp.float32))
+  return closer + tied / 2.0
+
+
+def v2t_ranks_from_embeddings(text_embds, vid_embds, text_weights,
+                              vid_weights, query_masks):
+  """Backend dispatch for the v2t orientation (see t2v counterpart)."""
+  if jax.default_backend() == "tpu":
+    return fused_v2t_ranks(text_embds, vid_embds, text_weights,
+                           vid_weights, query_masks)
+  return _v2t_ranks_from_counts(_chunked_counts, text_embds, vid_embds,
+                                text_weights, vid_weights, query_masks)

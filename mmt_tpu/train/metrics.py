@@ -91,6 +91,39 @@ def _v2t_ranks_np(sims, query_masks):
   return ranks
 
 
+def fused_retrieval_metrics(text_embds, vid_embds, text_weights,
+                            vid_weights, query_masks,
+                            which=("t2v_metrics", "v2t_metrics")):
+  """Retrieval metrics straight from embeddings, never materializing the
+  [Q, V] similarity matrix (ops/ranking.py fused kernel on TPU, chunked
+  XLA elsewhere).  For 50k+-video evals where the matrix is GBs of HBM.
+  Semantics match t2v_metrics/v2t_metrics on the full matrix."""
+  out = {}
+  if "t2v_metrics" in which:
+    cols = np.asarray(ranking_ops.t2v_ranks_from_embeddings(
+        text_embds, vid_embds, text_weights, vid_weights))
+    nq = cols.shape[0]
+    if query_masks is not None:
+      keep = np.asarray(query_masks).reshape(-1).astype(bool)
+      cols = cols[keep]
+      nq = int(keep.sum())
+    out["t2v_metrics"] = cols2metrics(cols, nq)
+  if "v2t_metrics" in which:
+    nv = vid_embds.shape[0]
+    masks = (query_masks if query_masks is not None
+             else np.ones((nv, text_embds.shape[0] // nv), np.float32))
+    ranks = np.asarray(ranking_ops.v2t_ranks_from_embeddings(
+        text_embds, vid_embds, text_weights, vid_weights,
+        jnp_asarray(masks)))
+    out["v2t_metrics"] = cols2metrics(ranks, nv)
+  return out
+
+
+def jnp_asarray(x):
+  import jax.numpy as jnp
+  return jnp.asarray(np.asarray(x))
+
+
 @register("metric", "v2t_metrics")
 def v2t_metrics(sims, query_masks=None, device=False):
   """Video-to-text retrieval metrics (closest own caption, VSE-style)."""

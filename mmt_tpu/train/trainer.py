@@ -38,6 +38,7 @@ from mmt_tpu.models.cenet import similarity_from_outputs
 from mmt_tpu.ops import similarity as similarity_ops
 from mmt_tpu.parallel import mesh as mesh_lib
 from mmt_tpu.train import checkpoint as ckpt_lib
+from mmt_tpu.train import metrics as metrics_lib
 from mmt_tpu.train.optim import linear_warmup
 from mmt_tpu.utils.timing import AverageMeter, update_perf_log
 
@@ -146,6 +147,11 @@ class Trainer:
     # epoch/eval (SURVEY.md §5 sanitizer analogue).
     self.sanity_checks = bool(cfg_trainer.get("sanity_checks")
                               or os.environ.get("MMT_TPU_SANITY_CHECKS"))
+    # Eval sets with >= this many videos rank on-device from embeddings
+    # (ops/ranking.py fused path); the [Q, V] similarity matrix is never
+    # materialized.  Applies where no sims artifact is required.
+    self.fused_eval_from_videos = cfg_trainer.get("fused_eval_from_videos",
+                                                  50_000)
 
     # Preemption-safe checkpointing: SIGTERM triggers an atomic save
     # before exit (the reference has no failure handling; its recovery is
@@ -504,16 +510,28 @@ class Trainer:
       with self.timer.time("valid.embds"):
         embds = self._get_embeddings(loader)
 
-      with self.timer.time("valid.conf_mat"):
-        b, k, m, d = embds["text_embds"].shape
-        sims_dev = similarity_ops.moe_similarity(
-            embds["text_embds"].reshape(b * k, m, d),
-            embds["vid_embds"],
-            embds["text_weights"].reshape(b * k, m),
-            embds["vid_weights"],
-            merge="indep", num_caps=k)
-        sims = np.asarray(sims_dev)
+      b, k, m, d = embds["text_embds"].shape
       query_masks = embds["query_masks"]
+      n_videos = embds["vid_embds"].shape[0]
+      metric_names = {name for name, _ in self.metrics}
+      # At >= fused_eval_from_videos videos, rank on-device from the
+      # embeddings (ops/ranking.py) instead of materializing the [Q, V]
+      # matrix; final_eval keeps the matrix (sims .npy / challenge CSV
+      # artifacts need it, trainer/trainer.py:411-437).
+      use_fused = (sets != "final_eval"
+                   and self.fused_eval_from_videos
+                   and n_videos >= self.fused_eval_from_videos
+                   and metric_names <= {"t2v_metrics", "v2t_metrics"})
+      sims = None
+      if not use_fused:
+        with self.timer.time("valid.conf_mat"):
+          sims_dev = similarity_ops.moe_similarity(
+              embds["text_embds"].reshape(b * k, m, d),
+              embds["vid_embds"],
+              embds["text_weights"].reshape(b * k, m),
+              embds["vid_weights"],
+              merge="indep", num_caps=k)
+          sims = np.asarray(sims_dev)
 
       parts = dataset_name.split("_")
       ds_base, cut_name, split_name = parts[0], parts[1], parts[2]
@@ -531,8 +549,19 @@ class Trainer:
         np.save(sims_path, {"sims": sims, "query_masks": query_masks})
         logger.info("Saved similarity matrix to %s", sims_path)
 
+      nested = {}
+      if use_fused:
+        with self.timer.time("valid.conf_mat"):
+          nested = metrics_lib.fused_retrieval_metrics(
+              embds["text_embds"].reshape(b * k, m, d),
+              embds["vid_embds"],
+              embds["text_weights"].reshape(b * k, m),
+              embds["vid_weights"],
+              query_masks, which=tuple(name for name, _ in self.metrics))
+        logger.info("%s: fused on-device ranking (%d videos; sims matrix "
+                    "not materialized)", dataset_name, n_videos)
+
       # Tracked throughput metric (BASELINE.json): eval videos/sec/chip.
-      n_videos = sims.shape[1]
       embds_time = self.timer.dic.get("valid.embds", {}).get("val", 0)
       conf_time = self.timer.dic.get("valid.conf_mat", {}).get("val", 0)
       n_chips = jax.device_count()
@@ -544,18 +573,18 @@ class Trainer:
         self.writer.add_scalar(f"{dataset_name}/eval_videos_per_sec_per_chip",
                                vps, epoch)
 
-      nested = {}
       with self.timer.time("valid.metrics"):
         for name, fn in self.metrics:
-          nested[name] = fn(sims, query_masks=query_masks,
-                            device=self.device_metrics)
+          if not use_fused:
+            nested[name] = fn(sims, query_masks=query_masks,
+                              device=self.device_metrics)
           for key, value in nested[name].items():
             if key != "cols":
               self.writer.add_scalar(f"{dataset_name}/{name}/{key}",
                                      value, epoch)
       result["metrics"][dataset_name] = nested
 
-      if self.visualizer is not None:
+      if self.visualizer is not None and sims is not None:
         with self.timer.time("valid.visu"):
           self.visualizer.visualize_ranking(
               sims=sims, query_masks=query_masks, epoch=epoch,

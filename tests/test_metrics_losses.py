@@ -171,3 +171,104 @@ def test_fused_rank_kernel_matches_two_pass(rng):
         jnp.asarray(text), jnp.asarray(vid), jnp.asarray(tw),
         jnp.asarray(vw)))
   np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_chunked_t2v_ranks_match_two_pass_10k(rng):
+  """10k-video eval through the no-matrix path (chunked XLA fallback of
+  the fused kernel) agrees with the two-pass matrix path exactly."""
+  import jax.numpy as jnp
+  from mmt_tpu.ops import similarity
+
+  caps, nv, m, d = 1, 10_000, 2, 8
+  q = nv * caps
+  text = rng.randn(q, m, d).astype(np.float32)
+  vid = rng.randn(nv, m, d).astype(np.float32)
+  tw = np.abs(rng.rand(q, m)).astype(np.float32)
+  vw = np.abs(rng.rand(nv, m)).astype(np.float32)
+
+  sims = similarity.moe_similarity(text, vid, tw, vw, merge="indep",
+                                   num_caps=caps)
+  want = np.asarray(ranking.t2v_ranks(sims))
+  got = np.asarray(ranking.t2v_ranks_from_embeddings(
+      jnp.asarray(text), jnp.asarray(vid), jnp.asarray(tw),
+      jnp.asarray(vw)))
+  # The no-matrix path computes the GT similarity directly (elementwise)
+  # while the matrix path reads it from the matmul; fp32 rounding of
+  # near-ties can move a rank by 1 for a few queries in 1e8 comparisons.
+  diff = np.abs(got - want)
+  assert diff.max() <= 1.0, f"rank disagreement > 1: {diff.max()}"
+  assert (diff > 0).mean() < 1e-3, f"{(diff > 0).sum()} queries differ"
+
+
+def test_chunked_v2t_ranks_match_two_pass_10k(rng):
+  import jax.numpy as jnp
+  from mmt_tpu.ops import similarity
+
+  caps, nv, m, d = 2, 5_000, 2, 8
+  q = nv * caps
+  text = rng.randn(q, m, d).astype(np.float32)
+  vid = rng.randn(nv, m, d).astype(np.float32)
+  tw = np.abs(rng.rand(q, m)).astype(np.float32)
+  vw = np.abs(rng.rand(nv, m)).astype(np.float32)
+  masks = (rng.rand(nv, caps) > 0.1).astype(np.float32)
+  masks[0, :] = 0  # one video with every caption masked -> inf rank
+
+  sims = similarity.moe_similarity(text, vid, tw, vw, merge="indep",
+                                   num_caps=caps)
+  want = np.asarray(ranking.v2t_ranks(sims, masks))
+  got = np.asarray(ranking.v2t_ranks_from_embeddings(
+      jnp.asarray(text), jnp.asarray(vid), jnp.asarray(tw),
+      jnp.asarray(vw), jnp.asarray(masks)))
+  finite = np.isfinite(want)
+  diff = np.abs(got[finite] - want[finite])
+  assert diff.max() <= 1.0, f"rank disagreement > 1: {diff.max()}"
+  assert (diff > 0).mean() < 1e-3, f"{(diff > 0).sum()} videos differ"
+  np.testing.assert_array_equal(np.isinf(got), np.isinf(want))
+  assert np.isinf(got[0])
+
+
+def test_fused_v2t_kernel_matches_two_pass(rng):
+  """Pallas v2t orientation (interpret mode) == matrix two-pass path."""
+  import jax.numpy as jnp
+  from jax.experimental.pallas import tpu as pltpu
+  from mmt_tpu.ops import similarity
+
+  caps, nv, m, d = 2, 12, 3, 16
+  q = nv * caps
+  text = rng.randn(q, m, d).astype(np.float32)
+  vid = rng.randn(nv, m, d).astype(np.float32)
+  tw = np.abs(rng.rand(q, m)).astype(np.float32)
+  vw = np.abs(rng.rand(nv, m)).astype(np.float32)
+  masks = np.ones((nv, caps), np.float32)
+  masks[3, 1] = 0
+  masks[5, :] = 0
+
+  sims = similarity.moe_similarity(text, vid, tw, vw, merge="indep",
+                                   num_caps=caps)
+  want = np.asarray(ranking.v2t_ranks(sims, masks))
+  with pltpu.force_tpu_interpret_mode():
+    got = np.asarray(ranking.fused_v2t_ranks(
+        jnp.asarray(text), jnp.asarray(vid), jnp.asarray(tw),
+        jnp.asarray(vw), jnp.asarray(masks)))
+  np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_fused_retrieval_metrics_match_matrix_metrics(rng):
+  from mmt_tpu.ops import similarity
+
+  caps, nv, m, d = 2, 20, 2, 8
+  q = nv * caps
+  text = rng.randn(q, m, d).astype(np.float32)
+  vid = rng.randn(nv, m, d).astype(np.float32)
+  tw = np.abs(rng.rand(q, m)).astype(np.float32)
+  vw = np.abs(rng.rand(nv, m)).astype(np.float32)
+  masks = (rng.rand(nv, caps) > 0.2).astype(np.float32)
+
+  sims = np.asarray(similarity.moe_similarity(text, vid, tw, vw,
+                                              merge="indep", num_caps=caps))
+  fused = metrics.fused_retrieval_metrics(text, vid, tw, vw, masks)
+  want_t2v = metrics.t2v_metrics(sims, query_masks=masks)
+  want_v2t = metrics.v2t_metrics(sims, query_masks=masks)
+  for key in ("R1", "R5", "R10", "MedR", "MeanR"):
+    np.testing.assert_allclose(fused["t2v_metrics"][key], want_t2v[key])
+    np.testing.assert_allclose(fused["v2t_metrics"][key], want_v2t[key])

@@ -192,3 +192,23 @@ def test_resume_restores_rng_stream(trained, tmp_path):
   assert t2.n_steps == trainer.n_steps
   np.testing.assert_array_equal(
       np.asarray(jax.random.key_data(t2.rng)), np.asarray(rng_before))
+
+
+def test_fused_eval_matches_matrix_path(trained):
+  """Continuous eval through the fused no-matrix ranking path produces
+  the same metrics as the materialized-similarity path."""
+  trainer = trained[0]
+  old = trainer.fused_eval_from_videos
+  try:
+    trainer.fused_eval_from_videos = 0
+    res_matrix = trainer._valid_epoch(epoch=0, sets="continuous_eval")
+    trainer.fused_eval_from_videos = 1   # force the fused path
+    res_fused = trainer._valid_epoch(epoch=0, sets="continuous_eval")
+  finally:
+    trainer.fused_eval_from_videos = old
+  for ds, nested in res_matrix["metrics"].items():
+    for metric_name, vals in nested.items():
+      for key in ("R1", "R5", "R10", "MedR", "MeanR"):
+        np.testing.assert_allclose(
+            res_fused["metrics"][ds][metric_name][key], vals[key],
+            err_msg=f"{ds}/{metric_name}/{key}")
