@@ -22,8 +22,11 @@ import time
 import numpy as np
 
 N_VIDEOS = int(os.environ.get("BENCH_VIDEOS", "1000"))
-BATCH = int(os.environ.get("BENCH_BATCH", "100"))
-REPS = int(os.environ.get("BENCH_REPS", "3"))
+# Per-chunk batch inside the single fused dispatch.  Swept on a v5e
+# (docs/PERF.md): 50 beats 20/40/100/250/500/1000 — the video tower's
+# fp32 softmax/LN working set stays VMEM-resident at 50.
+BATCH = int(os.environ.get("BENCH_BATCH", "50"))
+REPS = int(os.environ.get("BENCH_REPS", "5"))
 BASELINE_VIDEOS_PER_SEC_PER_CHIP = 250.0
 
 
@@ -46,39 +49,43 @@ def main():
       {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
       batch, train=False)
 
-  @jax.jit
-  def embed(variables, batch):
-    out = model.apply(variables, batch, train=False)
-    b, k, m, d = out["text_embds"].shape
-    return (out["text_embds"].reshape(b * k, m, d), out["vid_embds"],
-            out["text_weights"].reshape(b * k, m), out["vid_weights"])
-
-  @jax.jit
-  def score(text_e, vid_e, text_w, vid_w):
-    sims = similarity.moe_similarity(text_e, vid_e, text_w, vid_w,
-                                     merge="indep", num_caps=1)
-    return sims, ranking.t2v_ranks(sims)
-
-  n_batches = N_VIDEOS // BATCH
-  # Distinct batches (defeats any caching along the dispatch path).
+  n_chunks = N_VIDEOS // BATCH
+  # The whole eval is ONE jitted program: scan the embed over n_chunks
+  # DISTINCT chunks (distinct data defeats CSE — XLA dedupes identical
+  # chunk computations), then fused similarity + on-device ranks.  One
+  # dispatch and one host read total: through the remote-dispatch tunnel
+  # a dispatch+sync round trip costs ~30 ms (measured; reported below),
+  # and per-batch dispatching also prevents cross-chunk scheduling.
   rng = np.random.RandomState(1)
-  device_batches = []
-  for i in range(n_batches):
-    b = dict(batch)
-    b["token_ids"] = ((batch["token_ids"]
-                       + rng.randint(1, 1000)) % 28996).astype(np.int32)
-    device_batches.append(jax.device_put(b))
+  stacked = jax.tree_util.tree_map(
+      lambda leaf: np.stack([leaf] * n_chunks, 0), batch)
+  stacked["token_ids"] = ((stacked["token_ids"] + rng.randint(
+      1, 1000, size=(n_chunks, 1, 1, 1, 1))) % 28996).astype(np.int32)
+  for mod in batch["features"]:
+    stacked["features"][mod] = (
+        stacked["features"][mod]
+        + rng.randn(n_chunks, 1, 1, 1).astype(np.float32) * 0.01)
+  device_batch = jax.device_put(stacked)
+
+  @jax.jit
+  def full_eval(variables, sb):
+    def body(carry, b):
+      out = model.apply(variables, b, train=False)
+      bb, k, m, d = out["text_embds"].shape
+      return carry, (out["text_embds"].reshape(bb * k, m, d),
+                     out["vid_embds"],
+                     out["text_weights"].reshape(bb * k, m),
+                     out["vid_weights"])
+    _, parts = jax.lax.scan(body, 0, sb)
+    te, ve, tw, vw = [p.reshape((-1,) + p.shape[2:]) for p in parts]
+    sims = similarity.moe_similarity(te, ve, tw, vw, merge="indep",
+                                     num_caps=1)
+    return ranking.t2v_ranks(sims).sum()
 
   def run_eval():
-    parts = [embed(variables, b) for b in device_batches]
-    text_e = jnp.concatenate([p[0] for p in parts], 0)
-    vid_e = jnp.concatenate([p[1] for p in parts], 0)
-    text_w = jnp.concatenate([p[2] for p in parts], 0)
-    vid_w = jnp.concatenate([p[3] for p in parts], 0)
-    sims, ranks = score(text_e, vid_e, text_w, vid_w)
     # Force a scalar host read: through the remote-dispatch tunnel,
     # block_until_ready alone is not a reliable completion barrier.
-    return float(ranks.sum())
+    return float(full_eval(variables, device_batch))
 
   # Warmup / compile.
   checksum = run_eval()
@@ -91,6 +98,14 @@ def main():
   latency = min(times)
   videos_per_sec = N_VIDEOS / latency
 
+  # Dispatch+sync round trip of a trivial program: the fixed per-eval
+  # overhead of the tunneled single-chip setup (a local runtime pays
+  # well under 1 ms of this).
+  tiny = jax.jit(lambda a: a.sum())
+  x = jax.device_put(np.ones((8, 8), np.float32))
+  float(tiny(x))
+  rtt = min(_timed(lambda: float(tiny(x))) for _ in range(10))
+
   train_step_ms = None
   if os.environ.get("BENCH_TRAIN", "1") == "1":
     train_step_ms = _bench_train_step(jax, jnp)
@@ -102,6 +117,7 @@ def main():
       "vs_baseline": round(videos_per_sec / BASELINE_VIDEOS_PER_SEC_PER_CHIP,
                            3),
       "latency_s_1kx1k": round(latency, 4),
+      "dispatch_rtt_s": round(rtt, 4),
       "backend": jax.default_backend(),
       "dtype": "bf16" if use_bf16 else "fp32",
       "pallas_similarity": bool(use_pallas
@@ -112,6 +128,12 @@ def main():
     result["train_samples_per_sec_per_chip"] = round(
         32 * 1000 / train_step_ms, 1)
   print(json.dumps(result))
+
+
+def _timed(fn):
+  tic = time.perf_counter()
+  fn()
+  return time.perf_counter() - tic
 
 
 def _bench_train_step(jax, jnp):

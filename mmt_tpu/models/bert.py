@@ -9,7 +9,8 @@ token-type embeddings (no word lookup) for the video side
 
 TPU-native details:
 * one einsum per projection, batched attention via
-  ``mmt_tpu.ops.attention`` (XLA fused path or a Pallas kernel),
+  ``mmt_tpu.ops.attention`` (XLA-fused; a Pallas kernel was benchmarked
+  and deleted — see that module's docstring and docs/PERF.md),
 * static shapes everywhere; masks are additive floats computed once,
 * compute dtype is configurable (bf16 matmuls with fp32 accumulation).
 """
