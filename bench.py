@@ -35,12 +35,15 @@ def main():
   import jax.numpy as jnp
 
   from __graft_entry__ import _flagship_model_and_batch
-  from mmt_tpu.ops import ranking, similarity
+  from mmt_tpu.ops import ffn, ranking, similarity
 
   use_bf16 = os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
   use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+  use_pallas_ffn = os.environ.get("BENCH_PALLAS_FFN", "1") == "1"
   if use_pallas and jax.default_backend() == "tpu":
     similarity.use_pallas(True)
+  if use_pallas_ffn and jax.default_backend() == "tpu":
+    ffn.use_pallas(True)
 
   model, batch = _flagship_model_and_batch(
       batch_size=BATCH,
@@ -122,6 +125,8 @@ def main():
       "dtype": "bf16" if use_bf16 else "fp32",
       "pallas_similarity": bool(use_pallas
                                 and jax.default_backend() == "tpu"),
+      "pallas_ffn": bool(use_pallas_ffn
+                         and jax.default_backend() == "tpu"),
   }
   if train_step_ms is not None:
     result["train_step_ms_b32"] = round(train_step_ms, 2)

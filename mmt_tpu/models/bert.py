@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from mmt_tpu.config import BertParams
 from mmt_tpu.ops import attention as attention_ops
+from mmt_tpu.ops import ffn as ffn_ops
 
 
 def activation(name: str):
@@ -34,6 +35,41 @@ def activation(name: str):
   if name == "swish":
     return jax.nn.swish
   raise ValueError(f"unknown activation {name!r}")
+
+
+class _LNParams(nn.Module):
+  """Parameter holder with nn.LayerNorm's exact tree ({scale, bias})."""
+  dim: int
+
+  @nn.compact
+  def __call__(self):
+    scale = self.param("scale", nn.initializers.ones, (self.dim,))
+    bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+    return scale, bias
+
+
+class _Proj(nn.Module):
+  """Parameter holder with nn.Dense's exact tree ({kernel, bias}).
+
+  Exists so the FFN projections keep their reference-checkpoint param
+  layout (ffn_inter/kernel, ffn_out/kernel — the converter and
+  warm-start paths depend on it) while the *apply* path can route the
+  weights into the hand-fused Pallas FFN-block kernel (mmt_tpu/ops/ffn.py).
+  (A concatenated-QKV variant was also measured and rejected: one
+  [H, 3H] matmul benched ~1.4% SLOWER end-to-end than three nn.Dense
+  calls — the per-step weight concat costs more than the merge saves,
+  docs/PERF.md.)
+  """
+  in_dim: int
+  out_dim: int
+  kernel_init: nn.initializers.Initializer
+
+  @nn.compact
+  def __call__(self):
+    kernel = self.param("kernel", self.kernel_init,
+                        (self.in_dim, self.out_dim))
+    bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+    return kernel, bias
 
 
 class TransformerLayer(nn.Module):
@@ -53,9 +89,11 @@ class TransformerLayer(nn.Module):
                                    dtype=jnp.float32)
 
     # Self-attention.
-    q = dense(cfg.hidden_size, "query")(hidden)
-    k = dense(cfg.hidden_size, "key")(hidden)
-    v = dense(cfg.hidden_size, "value")(hidden)
+    init = nn.initializers.normal(cfg.initializer_range)
+    h = cfg.hidden_size
+    q = dense(h, "query")(hidden)
+    k = dense(h, "key")(hidden)
+    v = dense(h, "value")(hidden)
     ctx = attention_ops.multi_head_attention(
         q, k, v,
         num_heads=cfg.num_attention_heads,
@@ -70,13 +108,30 @@ class TransformerLayer(nn.Module):
         attn_out, deterministic=deterministic)
     hidden = ln("attn_ln")(attn_out + hidden)
 
-    # Feed-forward.
-    inter = dense(cfg.intermediate_size, "ffn_inter")(hidden)
-    inter = activation(cfg.hidden_act)(inter)
-    ffn_out = dense(cfg.hidden_size, "ffn_out")(inter)
-    ffn_out = nn.Dropout(cfg.hidden_dropout_prob)(
-        ffn_out, deterministic=deterministic)
-    hidden = ln("ffn_ln")(ffn_out + hidden)
+    # Feed-forward: params held in nn.Dense/nn.LayerNorm tree layout, but
+    # applied either as the hand-fused Pallas FFN-block kernel (inter +
+    # erf-GELU + out + residual + fp32 LN in one program, deterministic
+    # path on TPU — see mmt_tpu/ops/ffn.py and docs/PERF.md) or as the
+    # same math left to XLA (training path, with dropout).
+    w1, b1 = _Proj(h, cfg.intermediate_size, init, name="ffn_inter")()
+    w2, b2 = _Proj(cfg.intermediate_size, h, init, name="ffn_out")()
+    gamma, beta = _LNParams(h, name="ffn_ln")()
+    can_fuse = (deterministic and cfg.hidden_act == "gelu"
+                and ffn_ops.pallas_active())
+    if can_fuse:
+      hidden = ffn_ops.ffn_block(hidden, w1, b1, w2, b2, gamma, beta,
+                                 eps=cfg.layer_norm_eps,
+                                 compute_dtype=self.dtype)
+    else:
+      dt = self.dtype
+      inter = hidden.astype(dt) @ w1.astype(dt) + b1.astype(dt)
+      inter = activation(cfg.hidden_act)(inter)
+      ffn_out = inter @ w2.astype(dt) + b2.astype(dt)
+      ffn_out = nn.Dropout(cfg.hidden_dropout_prob)(
+          ffn_out, deterministic=deterministic)
+      hidden = ffn_ops.layer_norm(
+          ffn_out.astype(jnp.float32) + hidden.astype(jnp.float32),
+          gamma, beta, eps=cfg.layer_norm_eps)
     return hidden
 
 

@@ -1,0 +1,216 @@
+"""Hand-fused transformer FFN block: inter @ GELU @ out + residual + LN.
+
+The post-LN FFN sub-block (reference semantics:
+/root/reference/model/bert.py:175-199 — Dense(H->4H), erf-GELU,
+Dense(4H->H), residual add, LayerNorm) is the hot spot of the 1k x 1k
+eval: XLA runs it as two separate matmul fusions at ~48% MFU with the
+[R, 4H] intermediate round-tripping through HBM between them
+(docs/PERF.md profile: 58.6 ms of the 161 ms device time on the video
+tower alone).
+
+This kernel computes the whole sub-block in one Pallas program per row
+tile: both matmuls back-to-back on the MXU with the intermediate held in
+VMEM, GELU/bias in fp32 on the VPU between them, and the residual +
+LayerNorm (fp32 statistics, flax fast-variance formula) fused before the
+single output writeback.  Weights stay VMEM-resident across row tiles
+(constant index map).
+
+Used on the deterministic path only (training keeps the XLA path, which
+carries the dropout between ffn_out and the residual).  A custom VJP
+(backward = jax.vjp of the XLA reference) keeps the op differentiable
+anyway, so eval-mode grads don't crash.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_USE_PALLAS = bool(int(os.environ.get("MMT_TPU_PALLAS_FFN", "0")))
+_INTERPRET = False  # tests: run the kernel interpreted on CPU
+_TILE_OVERRIDE = int(os.environ.get("MMT_TPU_FFN_TILE", "0"))  # perf sweeps
+
+
+def use_pallas(enable: bool, interpret: bool = False) -> None:
+  global _USE_PALLAS, _INTERPRET
+  _USE_PALLAS = enable
+  _INTERPRET = interpret
+
+
+def pallas_active() -> bool:
+  return _USE_PALLAS and (_INTERPRET or jax.default_backend() == "tpu")
+
+
+def _gelu_erf(x):
+  # erf-based GELU, matching model/bert.py:37-53 (not the tanh approx).
+  return jax.nn.gelu(x, approximate=False)
+
+
+def _erf_as7126(x):
+  """fp32 erf via Abramowitz & Stegun 7.1.26 (|err| <= 1.5e-7).
+
+  Mosaic has no erf/erfc lowering, so the kernel carries its own: the
+  error is ~50x below fp32 GELU round-off at |x|~5 and ~4 decades below
+  bf16 resolution, i.e. numerically indistinguishable from exact erf for
+  this model.  Uses only mul/add/div/exp, all VPU-native.
+  """
+  a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                        -1.453152027, 1.061405429)
+  p = 0.3275911
+  s = jnp.sign(x)
+  ax = jnp.abs(x)
+  t = 1.0 / (1.0 + p * ax)
+  poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+  return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_erf_kernel(x):
+  """In-kernel erf-GELU (fp32)."""
+  return 0.5 * x * (1.0 + _erf_as7126(x * 0.7071067811865476))
+
+
+def xla_ffn_block(x, w1, b1, w2, b2, gamma, beta, *, eps,
+                  compute_dtype=jnp.bfloat16):
+  """Reference path: same math as the kernel, left to XLA.
+
+  x: [..., H] residual-stream input (any float dtype; LN runs in fp32).
+  Returns fp32 [..., H] (LayerNorm output, like flax LayerNorm with
+  dtype=fp32).
+  """
+  xc = x.astype(compute_dtype)
+  inter = xc @ w1.astype(compute_dtype) + b1.astype(compute_dtype)
+  inter = _gelu_erf(inter)
+  y = inter @ w2.astype(compute_dtype) + b2.astype(compute_dtype)
+  y = y.astype(jnp.float32) + x.astype(jnp.float32)
+  return layer_norm(y, gamma, beta, eps=eps)
+
+
+def layer_norm(y, gamma, beta, *, eps):
+  """fp32 LayerNorm, flax fast-variance formula (mean2 - mean^2, clamped)."""
+  y = y.astype(jnp.float32)
+  mean = jnp.mean(y, axis=-1, keepdims=True)
+  mean2 = jnp.mean(y * y, axis=-1, keepdims=True)
+  var = jnp.maximum(mean2 - mean * mean, 0.0)
+  y = (y - mean) * jax.lax.rsqrt(var + eps)
+  return y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+
+
+def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, bb_ref,
+                o_ref, *, eps, compute_dtype):
+  x32 = x_ref[:].astype(jnp.float32)                        # [T, H]
+  inter = jnp.dot(x_ref[:].astype(compute_dtype), w1_ref[:],
+                  preferred_element_type=jnp.float32)       # [T, I]
+  inter = _gelu_erf_kernel(inter + b1_ref[:].astype(jnp.float32))
+  y = jnp.dot(inter.astype(compute_dtype), w2_ref[:],
+              preferred_element_type=jnp.float32)           # [T, H]
+  y = y + b2_ref[:].astype(jnp.float32) + x32
+  mean = jnp.mean(y, axis=-1, keepdims=True)
+  mean2 = jnp.mean(y * y, axis=-1, keepdims=True)
+  var = jnp.maximum(mean2 - mean * mean, 0.0)
+  y = (y - mean) * jax.lax.rsqrt(var + eps)
+  o_ref[:] = (y * g_ref[:].astype(jnp.float32)
+              + bb_ref[:].astype(jnp.float32))
+
+
+def _round_up(x, m):
+  return ((x + m - 1) // m) * m
+
+
+def _pallas_ffn_2d(x, w1, b1, w2, b2, gamma, beta, *, eps, compute_dtype,
+                   interpret=False):
+  """x: [R, H] -> fp32 [R, H]."""
+  r, h = x.shape
+  i = w1.shape[1]
+  # Row tile sized so weights (w1+w2, VMEM-resident) + the fp32 [T, I]
+  # intermediate + double-buffered x/out tiles stay within ~16 MB VMEM:
+  # flagship video (H=512, I=2048): 4 MB weights + 4 MB inter at T=512;
+  # text (H=768, I=3072): 9.4 MB weights -> T=256 keeps inter at 3 MB.
+  tile_r = _TILE_OVERRIDE or (512 if h * i <= 512 * 2048 else 256)
+  tile_r = min(tile_r, _round_up(r, 8))
+  rp = _round_up(r, tile_r)
+  if rp != r:
+    # Zero rows are harmless: LN(0) = beta, and the pad is sliced off.
+    x = jnp.pad(x, ((0, rp - r), (0, 0)))
+
+  w1c = w1.astype(compute_dtype)
+  w2c = w2.astype(compute_dtype)
+  b1r = b1.reshape(1, i).astype(jnp.float32)
+  b2r = b2.reshape(1, h).astype(jnp.float32)
+  gr = gamma.reshape(1, h).astype(jnp.float32)
+  br = beta.reshape(1, h).astype(jnp.float32)
+
+  const = lambda shape: pl.BlockSpec(shape, lambda ri: (0, 0),
+                                     memory_space=pltpu.VMEM)
+  out = pl.pallas_call(
+      functools.partial(_ffn_kernel, eps=eps, compute_dtype=compute_dtype),
+      grid=(rp // tile_r,),
+      in_specs=[
+          pl.BlockSpec((tile_r, h), lambda ri: (ri, 0),
+                       memory_space=pltpu.VMEM),
+          const((h, i)), const((1, i)), const((i, h)), const((1, h)),
+          const((1, h)), const((1, h)),
+      ],
+      out_specs=pl.BlockSpec((tile_r, h), lambda ri: (ri, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((rp, h), jnp.float32),
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=("arbitrary",),
+      ),
+      cost_estimate=pl.CostEstimate(
+          flops=4 * rp * h * i,
+          bytes_accessed=(x.dtype.itemsize * rp * h + 2 * h * i * 2
+                          + 4 * rp * h),
+          transcendentals=rp * i,
+      ),
+      interpret=interpret,
+  )(x, w1c, b1r, w2c, b2r, gr, br)
+  return out[:r] if rp != r else out
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_ffn_fn(eps, compute_dtype, interpret):
+  """custom_vjp-wrapped fused FFN block for a given (eps, dtype) pair.
+
+  Forward = Pallas kernel; backward = jax.vjp of the XLA reference (the
+  kernel only runs on the deterministic path, so the backward exists for
+  safety — eval-mode grads — not for the training hot loop).
+  """
+  compute_dtype = jnp.dtype(compute_dtype)  # cache key is the name string
+
+  @jax.custom_vjp
+  def fused(x, w1, b1, w2, b2, gamma, beta):
+    return _pallas_ffn_2d(x, w1, b1, w2, b2, gamma, beta, eps=eps,
+                          compute_dtype=compute_dtype, interpret=interpret)
+
+  def fwd(x, w1, b1, w2, b2, gamma, beta):
+    return fused(x, w1, b1, w2, b2, gamma, beta), \
+        (x, w1, b1, w2, b2, gamma, beta)
+
+  def bwd(res, g):
+    ref = functools.partial(xla_ffn_block, eps=eps,
+                            compute_dtype=compute_dtype)
+    _, vjp = jax.vjp(ref, *res)
+    return vjp(g)
+
+  fused.defvjp(fwd, bwd)
+  return fused
+
+
+def ffn_block(x, w1, b1, w2, b2, gamma, beta, *, eps,
+              compute_dtype=jnp.bfloat16, interpret=None):
+  """Fused FFN sub-block over [..., H] input; returns fp32 [..., H]."""
+  lead = x.shape[:-1]
+  h = x.shape[-1]
+  x2 = x.reshape(-1, h)
+  if interpret is None:
+    interpret = _INTERPRET
+  fn = _fused_ffn_fn(float(eps), jnp.dtype(compute_dtype).name,
+                     bool(interpret))
+  # lru_cache keys must be hashable; re-materialize the dtype inside.
+  out = fn(x2, w1, b1, w2, b2, gamma, beta)
+  return out.reshape(lead + (h,))

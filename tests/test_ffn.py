@@ -1,0 +1,131 @@
+"""Fused FFN-block Pallas kernel: equivalence vs the XLA reference path.
+
+The kernel (mmt_tpu/ops/ffn.py) computes the reference's whole FFN
+sub-block (/root/reference/model/bert.py:175-199: Dense -> erf-GELU ->
+Dense -> residual -> LayerNorm) in one program.  These tests run it in
+interpret mode on the CPU mesh and check it against the plain-XLA math
+the training path uses, including through the custom VJP and through the
+full BERT tower.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmt_tpu.ops import ffn
+
+
+def _make_inputs(r, h, i, seed=0, dtype=np.float32):
+  rng = np.random.RandomState(seed)
+  x = rng.randn(r, h).astype(dtype)
+  w1 = (rng.randn(h, i) * 0.05).astype(np.float32)
+  b1 = (rng.randn(i) * 0.05).astype(np.float32)
+  w2 = (rng.randn(i, h) * 0.05).astype(np.float32)
+  b2 = (rng.randn(h) * 0.05).astype(np.float32)
+  gamma = (1.0 + 0.1 * rng.randn(h)).astype(np.float32)
+  beta = (0.1 * rng.randn(h)).astype(np.float32)
+  return x, w1, b1, w2, b2, gamma, beta
+
+
+@pytest.mark.parametrize("r,h,i", [(64, 64, 256), (100, 128, 512),
+                                   (9, 64, 128)])
+def test_kernel_matches_xla_fp32(r, h, i):
+  args = _make_inputs(r, h, i)
+  got = ffn.ffn_block(*args, eps=1e-12, compute_dtype=jnp.float32,
+                      interpret=True)
+  want = ffn.xla_ffn_block(*args, eps=1e-12, compute_dtype=jnp.float32)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=2e-5, atol=2e-5)
+
+
+def test_kernel_matches_xla_bf16_tolerance():
+  args = _make_inputs(96, 128, 512, seed=3)
+  got = ffn.ffn_block(*args, eps=1e-12, compute_dtype=jnp.bfloat16,
+                      interpret=True)
+  want = ffn.xla_ffn_block(*args, eps=1e-12, compute_dtype=jnp.bfloat16)
+  # The kernel keeps bias+GELU in fp32 where the XLA path stays bf16, so
+  # agreement is at bf16 resolution, not bitwise.
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=0.08, atol=0.08)
+
+
+def test_kernel_handles_3d_and_row_padding():
+  # 3D input with a row count that does not divide the tile.
+  x, w1, b1, w2, b2, gamma, beta = _make_inputs(70, 64, 256, seed=5)
+  x3 = x.reshape(7, 10, 64)
+  got = ffn.ffn_block(x3, w1, b1, w2, b2, gamma, beta, eps=1e-12,
+                      compute_dtype=jnp.float32, interpret=True)
+  want = ffn.xla_ffn_block(x3, w1, b1, w2, b2, gamma, beta, eps=1e-12,
+                           compute_dtype=jnp.float32)
+  assert got.shape == (7, 10, 64)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=2e-5, atol=2e-5)
+
+
+def test_custom_vjp_matches_xla_grads():
+  args = _make_inputs(32, 64, 128, seed=7)
+
+  def loss_fused(*a):
+    return ffn.ffn_block(*a, eps=1e-12, compute_dtype=jnp.float32,
+                         interpret=True).sum()
+
+  def loss_ref(*a):
+    return ffn.xla_ffn_block(*a, eps=1e-12,
+                             compute_dtype=jnp.float32).sum()
+
+  g_fused = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+  g_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+  for gf, gr in zip(g_fused, g_ref):
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_layer_norm_matches_flax():
+  import flax.linen as nn
+  rng = np.random.RandomState(11)
+  y = rng.randn(17, 96).astype(np.float32)
+  mod = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32)
+  variables = mod.init(jax.random.PRNGKey(0), y)
+  gamma = (1.0 + 0.2 * rng.randn(96)).astype(np.float32)
+  beta = (0.1 * rng.randn(96)).astype(np.float32)
+  variables = {"params": {"scale": jnp.asarray(gamma),
+                          "bias": jnp.asarray(beta)}}
+  want = mod.apply(variables, y)
+  got = ffn.layer_norm(y, gamma, beta, eps=1e-12)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=1e-6, atol=1e-6)
+
+
+def test_full_tower_fused_vs_unfused():
+  """The whole FeatureBert forward agrees between the fused (interpret)
+  and XLA FFN paths, on the real module with its real param tree."""
+  from mmt_tpu.config import BertParams
+  from mmt_tpu.models.bert import FeatureBert
+
+  cfg = BertParams(hidden_size=64, num_hidden_layers=2,
+                   num_attention_heads=4, intermediate_size=256,
+                   vocab_size=100, max_position_embeddings=32,
+                   type_vocab_size=4, hidden_dropout_prob=0.1,
+                   attention_probs_dropout_prob=0.1)
+  model = FeatureBert(cfg)
+  rng = np.random.RandomState(13)
+  feats = rng.randn(3, 12, 64).astype(np.float32)
+  mask = np.ones((3, 12), np.int32)
+  mask[1, 8:] = 0
+  types = rng.randint(0, 4, (3, 12)).astype(np.int32)
+  pos = np.tile(np.arange(12, dtype=np.int32), (3, 1))
+  variables = model.init(jax.random.PRNGKey(0), feats, mask, types, pos)
+
+  try:
+    ffn.use_pallas(False)
+    want = model.apply(variables, feats, mask, types, pos,
+                       deterministic=True)
+    ffn.use_pallas(True, interpret=True)
+    assert ffn.pallas_active()
+    got = model.apply(variables, feats, mask, types, pos,
+                      deterministic=True)
+  finally:
+    ffn.use_pallas(False)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=2e-5, atol=2e-5)
