@@ -26,6 +26,8 @@ logger = logging.getLogger("serve")
 def load_model_and_loader(config_path, checkpoint_path):
   import jax
   from mmt_tpu import config as config_lib
+  from mmt_tpu.ops import enable_tpu_default_kernels
+  enable_tpu_default_kernels()
   from mmt_tpu.experts import compute_dims
   from mmt_tpu.models.cenet import CENet
   from mmt_tpu.registry import build

@@ -79,6 +79,9 @@ def train(config):
   from mmt_tpu.parallel.mesh import maybe_initialize_distributed
   maybe_initialize_distributed()
 
+  from mmt_tpu.ops import enable_tpu_default_kernels
+  enable_tpu_default_kernels()
+
   from mmt_tpu.experts import compute_dims
   from mmt_tpu.models.cenet import CENet
   from mmt_tpu.registry import build, get
