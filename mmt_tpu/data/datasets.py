@@ -23,8 +23,9 @@ from typing import Callable, Dict, List, Optional
 
 import numpy as np
 
-from mmt_tpu.data.readers import (MultH5Reader, PklReader, VideoRecord,
-                                  discover_expert_paths, memcache)
+from mmt_tpu.data.readers import (MultH5Reader, PklReader, RecordCache,
+                                  VideoRecord, discover_expert_paths,
+                                  memcache)
 from mmt_tpu.data.sample import SampleOptions, collate, make_sample
 
 
@@ -275,14 +276,29 @@ class ExpertDataset:
           pathlib.Path(data_dir) / cut.restrict_test_captions_file,
           loaded_data)
 
+    # Budget-capped RAM record cache, shared across the train/continuous/
+    # final loaders of the same corpus through loaded_data (records are
+    # keyed by vid, which is split-independent for h5; pkl captions differ
+    # for test2, so that split gets its own cache).  See readers.py for
+    # why: the 1-core host cannot hide per-sample h5 reads behind worker
+    # processes the way the reference's 64-worker DataLoader does.
+    def shared_record_cache(*key):
+      if loaded_data is None:
+        return RecordCache()
+      return loaded_data.setdefault(("record_cache",) + key, RecordCache())
+
     if cut.reader == "pkl":
       expert_paths = discover_expert_paths(data_dir)
       self.reader = PklReader(data_dir, expert_paths, self.experts,
-                              split_name=split_name, cache=loaded_data)
+                              split_name=split_name, cache=loaded_data,
+                              record_cache=shared_record_cache(
+                                  "pkl", str(data_dir),
+                                  split_name == "test2"))
     else:
       cache_dir = os.path.join(os.path.dirname(str(data_dir)),
                                "vid_feat_files", "mult_h5")
-      self.reader = MultH5Reader(cache_dir, self.experts)
+      self.reader = MultH5Reader(cache_dir, self.experts,
+                                 cache=shared_record_cache("h5", cache_dir))
 
     self._ram: Dict[str, VideoRecord] = {}
     if load_in_ram:

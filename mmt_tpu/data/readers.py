@@ -57,7 +57,7 @@ class VideoRecord:
   """One video's captions + per-expert features, in memory."""
 
   __slots__ = ("captions", "captions_t", "features", "features_t",
-               "features_avgpool", "features_maxpool")
+               "features_avgpool", "features_maxpool", "pooled_full")
 
   def __init__(self, captions, captions_t, features, features_t,
                features_avgpool=None, features_maxpool=None):
@@ -67,6 +67,48 @@ class VideoRecord:
     self.features_t = features_t      # dict expert -> (n,) center times
     self.features_avgpool = features_avgpool or {}
     self.features_maxpool = features_maxpool or {}
+    # Memo for full-span avg/max pooling (expert -> (avg, max) rows):
+    # with clip_duration=inf (every published config) the pooled values
+    # are per-record constants, so samples shouldn't recompute them.
+    self.pooled_full = {}
+
+  def nbytes(self) -> int:
+    total = 0
+    for group in (self.captions, self.captions_t, self.features.values(),
+                  self.features_t.values(), self.features_avgpool.values(),
+                  self.features_maxpool.values()):
+      for arr in group:
+        total += getattr(np.asarray(arr), "nbytes", 0)
+    return total
+
+
+# Records are immutable once read (make_sample only slices/copies), so a
+# budget-capped RAM cache is safe.  On this 1-core host the h5 read path
+# costs ~3.5 ms/sample — 3x the device's per-sample train-step time — so
+# steady-state training is input-bound without it.  The reference instead
+# amortizes disk reads across 64 DataLoader worker processes
+# (base/base_dataset.py via torch DataLoader); a TPU host feeding one
+# chip does not have that luxury.
+RECORD_CACHE_MB = int(os.environ.get("MMT_TPU_RECORD_CACHE_MB", "8192"))
+
+
+class RecordCache:
+  """Fill-until-budget record cache (no eviction: epochs sweep the whole
+  corpus, so LRU would thrash; beyond-budget records are simply re-read)."""
+
+  def __init__(self, budget_bytes: int = RECORD_CACHE_MB * 2 ** 20):
+    self.budget = budget_bytes
+    self.used = 0
+    self._store: Dict[str, VideoRecord] = {}
+
+  def get(self, key):
+    return self._store.get(key)
+
+  def put(self, key, record: VideoRecord):
+    if self.used >= self.budget or key in self._store:
+      return
+    self._store[key] = record
+    self.used += record.nbytes()
 
 
 def _timings_for(expert: str, nb_feats: int) -> np.ndarray:
@@ -81,9 +123,10 @@ class MultH5Reader:
   # from the registry widths (base/base_dataset.py:471-492).
   TIMED_FROM_FILE = ("s3d", "vggish")
 
-  def __init__(self, cache_dir, experts):
+  def __init__(self, cache_dir, experts, cache: RecordCache = None):
     self.cache_dir = str(cache_dir)
     self.experts = list(experts)
+    self.cache = cache
 
   def path_for(self, vid: str) -> str:
     if vid.endswith(".h5"):
@@ -91,36 +134,46 @@ class MultH5Reader:
     return os.path.join(self.cache_dir, vid[0], vid[1], vid[2], f"{vid}.h5")
 
   def read(self, vid: str) -> VideoRecord:
+    if self.cache is not None:
+      hit = self.cache.get(vid)
+      if hit is not None:
+        return hit
     import h5py
     path = self.path_for(vid)
     with h5py.File(path, "r") as f:
-      caption_keys = [k for k in f.keys() if k.startswith("raw_captions.")]
-      nb_captions = len(caption_keys)
+      # One key listing; h5py group membership tests are surprisingly
+      # expensive at this call rate (profiled on the 1-core host).
+      keys = set(f.keys())
+      nb_captions = sum(1 for k in keys if k.startswith("raw_captions."))
       assert nb_captions > 0, f"no caption for {path}"
       captions, captions_t = [], []
       for i in range(nb_captions):
         cap = f[f"raw_captions.{i}"][()]
+        # Decode bytes -> str once at read time (cached records make this
+        # a per-corpus, not per-sample, cost).
+        cap = np.asarray([w.decode("UTF-8") if isinstance(w, bytes)
+                          else str(w) for w in cap])
         captions.append(cap)
         key_t = f"raw_captions_t.{i}"
-        if key_t in f:
+        if key_t in keys:
           cap_t = f[key_t][()]
           if cap_t.shape[0] != len(cap):
             cap_t = cap_t[:len(cap)]
         else:
           cap_t = np.zeros((len(cap), 2))
-        captions_t.append(cap_t)
+        captions_t.append(np.asarray(cap_t, dtype=np.float64))
 
       features, features_t = {}, {}
       for expert in self.experts:
         key = f"features.{expert}"
-        if key not in f:
+        if key not in keys:
           continue
         x = f[key][()]
         if len(x) == 0 or np.isnan(x[0][0]):
           continue
         features[expert] = np.asarray(x)
         key_t = f"features_t.{expert}"
-        if key_t in f and expert in self.TIMED_FROM_FILE:
+        if key_t in keys and expert in self.TIMED_FROM_FILE:
           t = np.asarray(f[key_t][()])
           if t.shape[0] != features[expert].shape[0]:
             logger.warning("Incorrect number of features_t values for %s", path)
@@ -128,7 +181,10 @@ class MultH5Reader:
         else:
           t = _timings_for(expert, features[expert].shape[0])
         features_t[expert] = np.average(t, axis=1)
-    return VideoRecord(captions, captions_t, features, features_t)
+    record = VideoRecord(captions, captions_t, features, features_t)
+    if self.cache is not None:
+      self.cache.put(vid, record)
+    return record
 
 
 class PklReader:
@@ -136,13 +192,14 @@ class PklReader:
   base/base_dataset.py:499-562)."""
 
   def __init__(self, data_dir, expert_paths, experts, split_name="train",
-               cache=None):
+               cache=None, record_cache: RecordCache = None):
     self.data_dir = pathlib.Path(data_dir)
     self.expert_paths = expert_paths
     self.experts = list(experts)
     cap_key = ("raw_captions_test2" if split_name == "test2"
                else "raw_captions")
     self._captions = memcache(self.data_dir / expert_paths[cap_key], cache)
+    self.record_cache = record_cache
     self._tables: Dict[str, Dict[str, dict]] = {}
     for expert in self.experts:
       if expert not in expert_paths:
@@ -153,6 +210,10 @@ class PklReader:
         self._tables[expert][agg] = memcache(self.data_dir / rel, cache)
 
   def read(self, vid: str) -> VideoRecord:
+    if self.record_cache is not None:
+      hit = self.record_cache.get(vid)
+      if hit is not None:
+        return hit
     raw = self._captions[vid]
     captions = list(raw)
     captions_t = [np.zeros((len(c), 2)) for c in captions]
@@ -174,8 +235,11 @@ class PklReader:
           x = table[vid]
           if len(x) and not np.isnan(np.asarray(x).flat[0]):
             store[expert] = np.asarray(x)
-    return VideoRecord(captions, captions_t, features, features_t,
-                       avgpool, maxpool)
+    record = VideoRecord(captions, captions_t, features, features_t,
+                         avgpool, maxpool)
+    if self.record_cache is not None:
+      self.record_cache.put(vid, record)
+    return record
 
 
 def discover_expert_paths(data_dir) -> dict:

@@ -12,6 +12,7 @@ base/base_dataset.py:876-896.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import re
 from typing import Dict, List, Sequence
 
@@ -30,6 +31,14 @@ def crop_or_pad_tokens(token_ids: Sequence[int], max_text_words: int):
   return out
 
 
+@functools.lru_cache(maxsize=4096)
+def _eval_pick(n: int, keep: int) -> np.ndarray:
+  """Deterministic eval subsample (base/base_dataset.py:71-115 uses a
+  fresh RandomState(0) per call, so the pick depends only on (n, keep) —
+  memoize it instead of reseeding numpy for every sample)."""
+  return np.random.RandomState(0).choice(n, size=keep, replace=False)
+
+
 def choose_or_pad_features(features, features_t, max_tokens, training,
                            shuffle=False, seed=0, rng=None):
   """Fixed-length subsample of a variable-length feature sequence.
@@ -43,13 +52,15 @@ def choose_or_pad_features(features, features_t, max_tokens, training,
   out_t = np.ones((max_tokens,))
   out_ind = np.zeros((max_tokens,))
   keep = min(len(features), max_tokens)
-  if training:
+  if keep == len(features):
+    # Choosing all elements without replacement then sorting is the
+    # identity — skip the RNG work (the common fixed-seg case).
+    pick = np.arange(keep)
+  elif training:
     picker = rng if rng is not None else np.random
-    pick = picker.choice(len(features), size=keep, replace=False)
+    pick = np.sort(picker.choice(len(features), size=keep, replace=False))
   else:
-    pick = np.random.RandomState(0).choice(len(features), size=keep,
-                                           replace=False)
-  pick = np.sort(pick)
+    pick = np.sort(_eval_pick(len(features), keep))
   out[:keep] = features[pick]
   if shuffle and training:
     shuffled = features_t[pick].copy()
@@ -152,6 +163,16 @@ def select_captions(captions, captions_t, opts: SampleOptions, training,
   return out, out_t
 
 
+def _stack0(lst):
+  """np.stack(lst, 0), cheap for the ubiquitous single-element case
+  (n_pairs=1 / captions_per_video=1 in every published train config)."""
+  return lst[0][None] if len(lst) == 1 else np.stack(lst, 0)
+
+
+def _cat0(lst):
+  return lst[0] if len(lst) == 1 else np.concatenate(lst, 0)
+
+
 def make_sample(record, tokenizer, experts: Dict[str, int],
                 opts: SampleOptions, training: bool, idx: int,
                 path: str = "", source: str = ""):
@@ -162,8 +183,12 @@ def make_sample(record, tokenizer, experts: Dict[str, int],
   """
   rng = np.random if training else np.random.RandomState(idx)
 
-  captions = [np.asarray([w.decode("UTF-8") if isinstance(w, bytes) else str(w)
-                          for w in c]) for c in record.captions]
+  # Cached records (readers.RecordCache) already hold decoded str arrays;
+  # only re-decode for raw byte captions from uncached pkl tables.
+  captions = [c if isinstance(c, np.ndarray) and c.dtype.kind == "U"
+              else np.asarray([w.decode("UTF-8") if isinstance(w, bytes)
+                               else str(w) for w in c])
+              for c in record.captions]
   captions_t = [np.asarray(t) for t in record.captions_t]
   sel_caps, sel_caps_t = select_captions(captions, captions_t, opts,
                                          training, rng)
@@ -230,7 +255,7 @@ def make_sample(record, tokenizer, experts: Dict[str, int],
       ids = tokenize_caption(tokenizer, sel, opts.max_text_words)
       token_ids.append(crop_or_pad_tokens(ids, opts.max_text_words))
 
-    token_ids_list.append(np.stack(token_ids, 0))
+    token_ids_list.append(_stack0(token_ids))
     query_masks_list.append(query_masks)
     raw_captions_list.append(raw_captions_pair)
 
@@ -271,8 +296,18 @@ def make_sample(record, tokenizer, experts: Dict[str, int],
         assert f_sel.ndim == 2 and f_sel.shape[1] == raw_dim, (
             f"expert {expert!r}: feature dim {f_sel.shape[1]} != "
             f"registry dim {raw_dim}")
-        avg = np.mean(f_sel, axis=0, keepdims=True)
-        mx = np.max(f_sel, axis=0, keepdims=True)
+        if clip_length == float("inf"):
+          # Full-span pooling is a per-record constant; memoized on the
+          # (cached) record so samples don't recompute it every epoch.
+          pooled = record.pooled_full.get(expert)
+          if pooled is None:
+            pooled = (np.mean(f_sel, axis=0, keepdims=True),
+                      np.max(f_sel, axis=0, keepdims=True))
+            record.pooled_full[expert] = pooled
+          avg, mx = pooled
+        else:
+          avg = np.mean(f_sel, axis=0, keepdims=True)
+          mx = np.max(f_sel, axis=0, keepdims=True)
         sub, sub_t, sub_ind = choose_or_pad_features(
             f_sel, f_t_sel, opts.max_expert_tokens, training,
             shuffle=opts.shuffle_feats_t, seed=idx)
@@ -291,17 +326,15 @@ def make_sample(record, tokenizer, experts: Dict[str, int],
 
   return {
       "text_tensors": {
-          "token_ids": np.stack(token_ids_list, 0),
-          "query_masks": np.stack(query_masks_list, 0),
+          "token_ids": _stack0(token_ids_list),
+          "query_masks": _stack0(query_masks_list),
       },
       "vid_tensors": {
-          "features": {e: np.stack(feats[e], 0) for e in experts},
-          "features_t": {e: np.stack(feats_t[e], 0) for e in experts},
-          "features_ind": {e: np.stack(feats_ind[e], 0) for e in experts},
-          "features_avgpool": {e: np.concatenate(feats_avg[e], 0)
-                               for e in experts},
-          "features_maxpool": {e: np.concatenate(feats_max[e], 0)
-                               for e in experts},
+          "features": {e: _stack0(feats[e]) for e in experts},
+          "features_t": {e: _stack0(feats_t[e]) for e in experts},
+          "features_ind": {e: _stack0(feats_ind[e]) for e in experts},
+          "features_avgpool": {e: _cat0(feats_avg[e]) for e in experts},
+          "features_maxpool": {e: _cat0(feats_max[e]) for e in experts},
       },
       "lists": {
           "raw_captions": raw_captions_list,

@@ -174,3 +174,92 @@ def test_loaded_data_shares_pkl_tables_across_loaders(tmp_path):
   assert ds1.reader._captions is ds2.reader._captions
   assert (ds1.reader._tables["i3d"]["fixed_seg"]
           is ds2.reader._tables["i3d"]["fixed_seg"])
+
+
+def test_record_cache_one_read_per_video(corpus, monkeypatch):
+  """Steady state reads each h5 file once: later epochs hit the RAM
+  record cache (mmt_tpu/data/readers.py:RecordCache)."""
+  from mmt_tpu.data import readers as readers_mod
+
+  data_dir, tok = corpus
+  ds = ExpertDataset("MSRVTT", "jsfusion", "test", str(data_dir), raw_dims(),
+                     training=False, tokenizer=tok, max_text_words=12,
+                     max_expert_tokens=4, captions_per_video=1,
+                     loaded_data={})
+  import h5py
+  opens = []
+  orig = h5py.File
+  monkeypatch.setattr(h5py, "File",
+                      lambda *a, **k: opens.append(a[0]) or orig(*a, **k))
+  for _ in range(3):           # three "epochs"
+    for i in range(ds.num_train):
+      ds[i]
+  assert len(opens) == ds.num_train, (
+      f"expected {ds.num_train} h5 opens, saw {len(opens)}")
+
+
+def test_record_cache_budget_zero_disables(corpus, monkeypatch):
+  from mmt_tpu.data import readers as readers_mod
+
+  data_dir, tok = corpus
+  ds = ExpertDataset("MSRVTT", "jsfusion", "test", str(data_dir), raw_dims(),
+                     training=False, tokenizer=tok, max_text_words=12,
+                     max_expert_tokens=4, captions_per_video=1,
+                     loaded_data={})
+  ds.reader.cache = readers_mod.RecordCache(budget_bytes=0)
+  import h5py
+  opens = []
+  orig = h5py.File
+  monkeypatch.setattr(h5py, "File",
+                      lambda *a, **k: opens.append(a[0]) or orig(*a, **k))
+  for _ in range(2):
+    ds[0]
+  assert len(opens) == 2, "budget 0 must disable caching"
+
+
+def test_record_cache_shared_across_loaders(corpus):
+  """continuous-eval and final-eval datasets over the same corpus share
+  one record cache through loaded_data."""
+  data_dir, tok = corpus
+  loaded = {}
+  ds1 = ExpertDataset("MSRVTT", "jsfusion", "test", str(data_dir),
+                      raw_dims(), training=False, tokenizer=tok,
+                      max_text_words=12, max_expert_tokens=4,
+                      captions_per_video=1, loaded_data=loaded)
+  ds2 = ExpertDataset("MSRVTT", "jsfusion", "test", str(data_dir),
+                      raw_dims(), training=False, tokenizer=tok,
+                      max_text_words=12, max_expert_tokens=4,
+                      captions_per_video=1, loaded_data=loaded)
+  assert ds1.reader.cache is ds2.reader.cache
+  ds1[0]
+  assert ds1.reader.cache.used > 0
+  # the second dataset sees ds1's cached records
+  vid = ds2.vid_list[0]
+  assert ds2.reader.cache.get(vid) is not None
+
+
+def test_cached_samples_identical_to_uncached(corpus):
+  """The record cache must not change sample contents (eval path is
+  bit-deterministic, base/base_dataset.py:101-104)."""
+  from mmt_tpu.data import readers as readers_mod
+
+  data_dir, tok = corpus
+  kw = dict(training=False, tokenizer=tok, max_text_words=12,
+            max_expert_tokens=4, captions_per_video=1)
+  ds_cached = ExpertDataset("MSRVTT", "jsfusion", "test", str(data_dir),
+                            raw_dims(), loaded_data={}, **kw)
+  ds_cold = ExpertDataset("MSRVTT", "jsfusion", "test", str(data_dir),
+                          raw_dims(), loaded_data={}, **kw)
+  ds_cold.reader.cache = readers_mod.RecordCache(budget_bytes=0)
+  for i in range(ds_cached.num_train):
+    ds_cached[i]                       # warm the cache
+  for i in range(ds_cached.num_train):
+    a, b = ds_cached[i], ds_cold[i]
+    np.testing.assert_array_equal(a["text_tensors"]["token_ids"],
+                                  b["text_tensors"]["token_ids"])
+    for m in EXPERTS:
+      np.testing.assert_array_equal(a["vid_tensors"]["features"][m],
+                                    b["vid_tensors"]["features"][m])
+      np.testing.assert_array_equal(
+          a["vid_tensors"]["features_maxpool"][m],
+          b["vid_tensors"]["features_maxpool"][m])
