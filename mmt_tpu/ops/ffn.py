@@ -132,10 +132,12 @@ def _pallas_ffn_2d(x, w1, b1, w2, b2, gamma, beta, *, eps, compute_dtype,
   # text (H=768, I=3072): 9.4 MB weights -> T=256 keeps inter at 3 MB.
   tile_r = _TILE_OVERRIDE or (512 if h * i <= 512 * 2048 else 256)
   tile_r = min(tile_r, _round_up(r, 8))
-  rp = _round_up(r, tile_r)
-  if rp != r:
-    # Zero rows are harmless: LN(0) = beta, and the pad is sliced off.
-    x = jnp.pad(x, ((0, rp - r), (0, 0)))
+  # Ragged row counts are left to Pallas' partial-block masking (stores
+  # past r are dropped; garbage pad rows only feed their own discarded
+  # LN outputs).  An explicit jnp.pad + out[:r] slice showed up as copy
+  # ops in the profile but was wall-neutral when removed (XLA overlapped
+  # the copies); the maskless grid is kept for being less code, not for
+  # speed (docs/PERF.md).
 
   w1c = w1.astype(compute_dtype)
   w2c = w2.astype(compute_dtype)
@@ -148,7 +150,7 @@ def _pallas_ffn_2d(x, w1, b1, w2, b2, gamma, beta, *, eps, compute_dtype,
                                      memory_space=pltpu.VMEM)
   out = pl.pallas_call(
       functools.partial(_ffn_kernel, eps=eps, compute_dtype=compute_dtype),
-      grid=(rp // tile_r,),
+      grid=(pl.cdiv(r, tile_r),),
       in_specs=[
           pl.BlockSpec((tile_r, h), lambda ri: (ri, 0),
                        memory_space=pltpu.VMEM),
@@ -157,19 +159,19 @@ def _pallas_ffn_2d(x, w1, b1, w2, b2, gamma, beta, *, eps, compute_dtype,
       ],
       out_specs=pl.BlockSpec((tile_r, h), lambda ri: (ri, 0),
                              memory_space=pltpu.VMEM),
-      out_shape=jax.ShapeDtypeStruct((rp, h), jnp.float32),
+      out_shape=jax.ShapeDtypeStruct((r, h), jnp.float32),
       compiler_params=pltpu.CompilerParams(
           dimension_semantics=("arbitrary",),
       ),
       cost_estimate=pl.CostEstimate(
-          flops=4 * rp * h * i,
-          bytes_accessed=(x.dtype.itemsize * rp * h + 2 * h * i * 2
-                          + 4 * rp * h),
-          transcendentals=rp * i,
+          flops=4 * r * h * i,
+          bytes_accessed=(x.dtype.itemsize * r * h + 2 * h * i * 2
+                          + 4 * r * h),
+          transcendentals=r * i,
       ),
       interpret=interpret,
   )(x, w1c, b1r, w2c, b2r, gr, br)
-  return out[:r] if rp != r else out
+  return out
 
 
 @functools.lru_cache(maxsize=None)
