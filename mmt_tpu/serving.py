@@ -81,17 +81,46 @@ class RetrievalIndex:
 
 
 class RetrievalEngine:
-  """Free-text video search over a RetrievalIndex."""
+  """Free-text video search over a RetrievalIndex.
+
+  With ``mesh`` (a 1-D ``data`` mesh from mmt_tpu.parallel.mesh), the
+  index is sharded across chips on the video axis and GSPMD inserts the
+  shard-local similarity matmuls + the cross-chip top-k merge — the
+  corpus then scales with aggregate HBM instead of one chip's.  Queries
+  are replicated (they're [B, 1, T, 2] int32 — tiny).
+  """
 
   def __init__(self, model, variables, tokenizer, index: RetrievalIndex,
-               max_text_words: int = 30):
+               max_text_words: int = 30, mesh=None):
     self.model = model
     self.variables = variables
     self.tokenizer = tokenizer
     self.index = index
     self.max_text_words = max_text_words
-    self._dev_embds = jnp.asarray(index.vid_embds)
-    self._dev_weights = jnp.asarray(index.vid_weights)
+    self.mesh = mesh
+    if mesh is not None:
+      from jax.sharding import NamedSharding, PartitionSpec as P
+      n = int(np.prod(mesh.devices.shape))
+      pad = (-len(index.vid_embds)) % n
+      embds, weights = index.vid_embds, index.vid_weights
+      if pad:
+        # Pad rows carry zero MoE weights -> denominator eps-guard makes
+        # their sims ~0; with L1-normalized true weights every real sim
+        # is > the guard floor, so pads never reach the top-k for any
+        # non-degenerate index.
+        embds = np.concatenate([embds, np.zeros((pad,) + embds.shape[1:],
+                                                embds.dtype)], 0)
+        weights = np.concatenate([weights,
+                                  np.zeros((pad, weights.shape[1]),
+                                           weights.dtype)], 0)
+      shard = NamedSharding(mesh, P("data"))
+      self._dev_embds = jax.device_put(embds, shard)
+      self._dev_weights = jax.device_put(weights, shard)
+    else:
+      self._dev_embds = jnp.asarray(index.vid_embds)
+      self._dev_weights = jnp.asarray(index.vid_weights)
+
+    n_real = len(index)
 
     @jax.jit
     def query_fn(token_ids, vid_embds, vid_weights):
@@ -102,7 +131,13 @@ class RetrievalEngine:
           out["text_embds"].reshape(b * k, m, d), vid_embds,
           out["text_weights"].reshape(b * k, m), vid_weights,
           merge="indep", num_caps=1)
-      k_top = min(10, vid_embds.shape[0])
+      if sims.shape[1] != n_real:
+        # Mesh-padding rows must never reach the top-k: their sims are 0
+        # (eps-guarded), which would still outrank genuinely negative
+        # videos.
+        sims = jnp.where(jnp.arange(sims.shape[1])[None, :] < n_real,
+                         sims, -jnp.inf)
+      k_top = min(10, n_real)
       scores, idx = jax.lax.top_k(sims, k_top)
       return scores, idx
 

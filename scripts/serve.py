@@ -70,6 +70,9 @@ def main(argv=None):
   parser.add_argument("--query", action="append", default=[],
                       help="text query (repeatable)")
   parser.add_argument("--topk", type=int, default=5)
+  parser.add_argument("--shard_index", action="store_true",
+                      help="shard the index across the device mesh (corpus "
+                           "scales with aggregate HBM; see serving.py)")
   args = parser.parse_args(argv)
   logging.basicConfig(level=logging.INFO, format="%(message)s")
 
@@ -89,8 +92,12 @@ def main(argv=None):
       return
 
   index = RetrievalIndex.load(args.index or args.build_index)
+  mesh = None
+  if args.shard_index:
+    from mmt_tpu.parallel import mesh as mesh_lib
+    mesh = mesh_lib.data_mesh()
   engine = RetrievalEngine(model, variables, tokenizer, index,
-                           max_text_words=max_words)
+                           max_text_words=max_words, mesh=mesh)
   for query, hits in zip(args.query, engine.search(args.query, args.topk)):
     print(json.dumps({"query": query, "hits": hits}))
 

@@ -93,3 +93,36 @@ def test_serve_cli(served):
   result = json.loads(out_lines[-1])
   assert result["query"] == "a video of cooking"
   assert len(result["hits"]) == 3
+
+
+def test_sharded_index_matches_unsharded(served):
+  """Index sharded over the 8-device data mesh returns the same hits as
+  the single-device engine (GSPMD shard-local matmuls + top-k merge)."""
+  from mmt_tpu.parallel import mesh as mesh_lib
+  from mmt_tpu.serving import RetrievalEngine, RetrievalIndex
+  root, cfg_path, trainer = served
+
+  entry = trainer.data_loaders["final_eval_sets"][0]
+  variables = {"params": trainer.params, "batch_stats": trainer.batch_stats}
+  dataset = entry["dataset"].datasets[0]
+  index = RetrievalIndex.build(trainer.model, variables, entry["loader"],
+                               dataset=dataset)
+  assert len(index) == 6  # not divisible by 8 -> exercises mesh padding
+
+  mesh = mesh_lib.data_mesh()
+  assert mesh is not None and int(np.prod(mesh.devices.shape)) == 8
+  plain = RetrievalEngine(trainer.model, variables, trainer.tokenizer,
+                          index, max_text_words=12)
+  sharded = RetrievalEngine(trainer.model, variables, trainer.tokenizer,
+                            index, max_text_words=12, mesh=mesh)
+  queries = ["a video of cooking", "a video of soccer"]
+  want = plain.search(queries, topk=3)
+  got = sharded.search(queries, topk=3)
+  for w_hits, g_hits in zip(want, got):
+    assert [h["video_id"] for h in w_hits] == [h["video_id"] for h in g_hits]
+    np.testing.assert_allclose([h["score"] for h in w_hits],
+                               [h["score"] for h in g_hits], rtol=1e-4,
+                               atol=1e-5)
+    # pad rows never surface
+    for h in g_hits:
+      assert h["video_id"] in index.video_ids
