@@ -116,12 +116,23 @@ class TransformerLayer(nn.Module):
     w1, b1 = _Proj(h, cfg.intermediate_size, init, name="ffn_inter")()
     w2, b2 = _Proj(cfg.intermediate_size, h, init, name="ffn_out")()
     gamma, beta = _LNParams(h, name="ffn_ln")()
-    can_fuse = (deterministic and cfg.hidden_act == "gelu"
-                and ffn_ops.pallas_active())
-    if can_fuse:
+    p_drop = cfg.hidden_dropout_prob
+    fusable = cfg.hidden_act == "gelu" and ffn_ops.pallas_active()
+    if fusable and (deterministic or p_drop == 0.0):
       hidden = ffn_ops.ffn_block(hidden, w1, b1, w2, b2, gamma, beta,
                                  eps=cfg.layer_norm_eps,
                                  compute_dtype=self.dtype)
+    elif fusable:
+      # Train path: fused fwd+bwd kernels with an explicit pre-scaled
+      # dropout mask (mmt_tpu/ops/ffn.py — mask generated here so the
+      # op stays deterministic given its inputs).
+      keep = jax.random.bernoulli(self.make_rng("dropout"),
+                                  1.0 - p_drop, hidden.shape)
+      drop = keep.astype(jnp.float32) / (1.0 - p_drop)
+      hidden = ffn_ops.ffn_block_train(hidden, drop, w1, b1, w2, b2,
+                                       gamma, beta,
+                                       eps=cfg.layer_norm_eps,
+                                       compute_dtype=self.dtype)
     else:
       dt = self.dtype
       inter = hidden.astype(dt) @ w1.astype(dt) + b1.astype(dt)

@@ -203,6 +203,233 @@ def _fused_ffn_fn(eps, compute_dtype, interpret):
   return fused
 
 
+# ---------------------------------------------------------------------------
+# Training-path fused FFN: same block with dropout between ffn_out and the
+# residual (reference: model/bert.py:193-199 applies Dropout before the
+# post-LN add).  The dropout mask is generated OUTSIDE the kernel (one
+# bernoulli per block, scaled 1/(1-p)) so the op stays deterministic given
+# the mask, testable on CPU, and free of in-kernel PRNG (which this
+# jax version cannot interpret off-TPU).
+#
+# Split of the backward work, chosen from the measured MFU profile
+# (docs/PERF.md): the row-parallel matmuls (dinter = dz @ W2^T,
+# dx = dinter @ W1^T) run in a Pallas kernel at the fused-fwd rate, while
+# the weight gradients (dW = activations^T @ deltas, K = R is large) are
+# left to XLA, where they are already MXU-friendly and would otherwise
+# need cross-tile accumulators that exceed VMEM at H=768.  The fwd kernel
+# emits the residuals backward needs (pre-activation inter, pre-LN z) so
+# nothing is recomputed on the MXU.
+# ---------------------------------------------------------------------------
+
+
+def _ffn_train_fwd_kernel(x_ref, drop_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                          g_ref, bb_ref, o_ref, inter_ref, z_ref, *, eps,
+                          compute_dtype):
+  x32 = x_ref[:].astype(jnp.float32)
+  inter = jnp.dot(x_ref[:].astype(compute_dtype), w1_ref[:],
+                  preferred_element_type=jnp.float32)
+  inter = inter + b1_ref[:].astype(jnp.float32)
+  inter_ref[:] = inter.astype(inter_ref.dtype)
+  gelu_out = _gelu_erf_kernel(inter)
+  y = jnp.dot(gelu_out.astype(compute_dtype), w2_ref[:],
+              preferred_element_type=jnp.float32)
+  y = y + b2_ref[:].astype(jnp.float32)
+  z = y * drop_ref[:].astype(jnp.float32) + x32
+  z_ref[:] = z.astype(z_ref.dtype)
+  mean = jnp.mean(z, axis=-1, keepdims=True)
+  mean2 = jnp.mean(z * z, axis=-1, keepdims=True)
+  var = jnp.maximum(mean2 - mean * mean, 0.0)
+  zhat = (z - mean) * jax.lax.rsqrt(var + eps)
+  o_ref[:] = (zhat * g_ref[:].astype(jnp.float32)
+              + bb_ref[:].astype(jnp.float32))
+
+
+def _ffn_train_bwd_kernel(dy_ref, z_ref, inter_ref, drop_ref, w1_ref,
+                          w2_ref, g_ref, dx_ref, dz_ref, dinter_ref, *, eps,
+                          compute_dtype):
+  z = z_ref[:].astype(jnp.float32)
+  dy = dy_ref[:].astype(jnp.float32)
+  h = z.shape[-1]
+  mean = jnp.mean(z, axis=-1, keepdims=True)
+  mean2 = jnp.mean(z * z, axis=-1, keepdims=True)
+  var = jnp.maximum(mean2 - mean * mean, 0.0)
+  rstd = jax.lax.rsqrt(var + eps)
+  zhat = (z - mean) * rstd
+  dyg = dy * g_ref[:].astype(jnp.float32)
+  dz = rstd * (dyg - jnp.mean(dyg, axis=-1, keepdims=True)
+               - zhat * jnp.mean(dyg * zhat, axis=-1, keepdims=True))
+  dz_ref[:] = dz.astype(dz_ref.dtype)
+  dffn = dz * drop_ref[:].astype(jnp.float32)
+  dinter_gelu = jax.lax.dot_general(
+      dffn.astype(compute_dtype), w2_ref[:], (((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  inter = inter_ref[:].astype(jnp.float32)
+  # d/du gelu_erf(u) = Phi(u) + u * phi(u)
+  phi = jnp.exp(-0.5 * inter * inter) * 0.3989422804014327
+  big_phi = 0.5 * (1.0 + _erf_as7126(inter * 0.7071067811865476))
+  dinter = dinter_gelu * (big_phi + inter * phi)
+  dinter_ref[:] = dinter.astype(dinter_ref.dtype)
+  dx = jax.lax.dot_general(
+      dinter.astype(compute_dtype), w1_ref[:], (((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  dx_ref[:] = dx + dz
+
+
+def _train_tile(r, h, i):
+  tile_r = _TILE_OVERRIDE or (512 if h * i <= 512 * 2048 else 128)
+  return min(tile_r, _round_up(r, 8))
+
+
+def _pallas_ffn_train_fwd(x, drop, w1, b1, w2, b2, gamma, beta, *, eps,
+                          compute_dtype, interpret):
+  r, h = x.shape
+  i = w1.shape[1]
+  tile_r = _train_tile(r, h, i)
+  const = lambda shape: pl.BlockSpec(shape, lambda ri: (0, 0),
+                                     memory_space=pltpu.VMEM)
+  row = lambda width: pl.BlockSpec((tile_r, width), lambda ri: (ri, 0),
+                                   memory_space=pltpu.VMEM)
+  out, inter, z = pl.pallas_call(
+      functools.partial(_ffn_train_fwd_kernel, eps=eps,
+                        compute_dtype=compute_dtype),
+      grid=(pl.cdiv(r, tile_r),),
+      in_specs=[row(h), row(h), const((h, i)), const((1, i)),
+                const((i, h)), const((1, h)), const((1, h)), const((1, h))],
+      out_specs=(row(h), row(i), row(h)),
+      out_shape=(jax.ShapeDtypeStruct((r, h), jnp.float32),
+                 jax.ShapeDtypeStruct((r, i), compute_dtype),
+                 jax.ShapeDtypeStruct((r, h), compute_dtype)),
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=("arbitrary",)),
+      cost_estimate=pl.CostEstimate(
+          flops=4 * r * h * i,
+          bytes_accessed=(8 * r * h + 2 * h * i * 2 + 4 * r * h
+                          + jnp.dtype(compute_dtype).itemsize * r * (i + h)),
+          transcendentals=r * i),
+      interpret=interpret,
+  )(x, drop, w1.astype(compute_dtype), b1.reshape(1, i).astype(jnp.float32),
+    w2.astype(compute_dtype), b2.reshape(1, h).astype(jnp.float32),
+    gamma.reshape(1, h).astype(jnp.float32),
+    beta.reshape(1, h).astype(jnp.float32))
+  return out, inter, z
+
+
+def _pallas_ffn_train_bwd(dy, z, inter, drop, w1, w2, gamma, *, eps,
+                          compute_dtype, interpret):
+  r, h = z.shape
+  i = inter.shape[1]
+  tile_r = _train_tile(r, h, i)
+  const = lambda shape: pl.BlockSpec(shape, lambda ri: (0, 0),
+                                     memory_space=pltpu.VMEM)
+  row = lambda width: pl.BlockSpec((tile_r, width), lambda ri: (ri, 0),
+                                   memory_space=pltpu.VMEM)
+  dx, dz, dinter = pl.pallas_call(
+      functools.partial(_ffn_train_bwd_kernel, eps=eps,
+                        compute_dtype=compute_dtype),
+      grid=(pl.cdiv(r, tile_r),),
+      in_specs=[row(h), row(h), row(i), row(h), const((h, i)),
+                const((i, h)), const((1, h))],
+      out_specs=(row(h), row(h), row(i)),
+      out_shape=(jax.ShapeDtypeStruct((r, h), jnp.float32),
+                 jax.ShapeDtypeStruct((r, h), compute_dtype),
+                 jax.ShapeDtypeStruct((r, i), compute_dtype)),
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=("arbitrary",)),
+      cost_estimate=pl.CostEstimate(
+          flops=4 * r * h * i,
+          bytes_accessed=(12 * r * h + 2 * h * i * 2
+                          + jnp.dtype(compute_dtype).itemsize * r * 2 * i),
+          transcendentals=r * i),
+      interpret=interpret,
+  )(dy, z, inter, drop, w1.astype(compute_dtype), w2.astype(compute_dtype),
+    gamma.reshape(1, h).astype(jnp.float32))
+  return dx, dz, dinter
+
+
+def xla_ffn_block_train(x, drop, w1, b1, w2, b2, gamma, beta, *, eps,
+                        compute_dtype=jnp.bfloat16):
+  """Training reference path: fused-FFN math with an explicit dropout
+  mask ``drop`` ([..., H], values 0 or 1/(1-p)) applied to ffn_out before
+  the residual (model/bert.py:193-199 semantics)."""
+  xc = x.astype(compute_dtype)
+  inter = xc @ w1.astype(compute_dtype) + b1.astype(compute_dtype)
+  inter = _gelu_erf(inter.astype(jnp.float32))
+  y = inter.astype(compute_dtype) @ w2.astype(compute_dtype) \
+      + b2.astype(compute_dtype)
+  z = y.astype(jnp.float32) * drop.astype(jnp.float32) \
+      + x.astype(jnp.float32)
+  return layer_norm(z, gamma, beta, eps=eps)
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_ffn_train_fn(eps, compute_dtype, interpret):
+  """custom_vjp fused train-time FFN block (explicit dropout mask)."""
+  compute_dtype = jnp.dtype(compute_dtype)
+
+  @jax.custom_vjp
+  def fused(x, drop, w1, b1, w2, b2, gamma, beta):
+    out, _, _ = _pallas_ffn_train_fwd(x, drop, w1, b1, w2, b2, gamma, beta,
+                                      eps=eps, compute_dtype=compute_dtype,
+                                      interpret=interpret)
+    return out
+
+  def fwd(x, drop, w1, b1, w2, b2, gamma, beta):
+    out, inter, z = _pallas_ffn_train_fwd(
+        x, drop, w1, b1, w2, b2, gamma, beta, eps=eps,
+        compute_dtype=compute_dtype, interpret=interpret)
+    return out, (x, drop, w1, w2, gamma, inter, z)
+
+  def bwd(res, dy):
+    x, drop, w1, w2, gamma, inter, z = res
+    dy = dy.astype(jnp.float32)
+    dx, dz, dinter = _pallas_ffn_train_bwd(
+        dy, z, inter, drop, w1, w2, gamma, eps=eps,
+        compute_dtype=compute_dtype, interpret=interpret)
+    # Weight/scale grads: K = R matmuls and row reductions, left to XLA.
+    z32 = z.astype(jnp.float32)
+    mean = jnp.mean(z32, axis=-1, keepdims=True)
+    mean2 = jnp.mean(z32 * z32, axis=-1, keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    zhat = (z32 - mean) * jax.lax.rsqrt(var + eps)
+    dgamma = jnp.sum(dy * zhat, axis=0)
+    dbeta = jnp.sum(dy, axis=0)
+    dffn = (dz.astype(jnp.float32) * drop.astype(jnp.float32))
+    gelu_out = _gelu_erf(inter.astype(jnp.float32))
+    dw2 = jax.lax.dot_general(
+        gelu_out.astype(compute_dtype), dffn.astype(compute_dtype),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db2 = jnp.sum(dffn, axis=0)
+    dw1 = jax.lax.dot_general(
+        x.astype(compute_dtype), dinter.astype(compute_dtype),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db1 = jnp.sum(dinter.astype(jnp.float32), axis=0)
+    return (dx.astype(x.dtype), jnp.zeros_like(drop), dw1.astype(w1.dtype),
+            db1.astype(jnp.float32), dw2.astype(w2.dtype),
+            db2.astype(jnp.float32), dgamma.astype(gamma.dtype),
+            dbeta.astype(jnp.float32))
+
+  fused.defvjp(fwd, bwd)
+  return fused
+
+
+def ffn_block_train(x, drop, w1, b1, w2, b2, gamma, beta, *, eps,
+                    compute_dtype=jnp.bfloat16, interpret=None):
+  """Fused train-time FFN sub-block over [..., H]; ``drop`` is the
+  pre-scaled dropout mask for ffn_out (same leading shape as x).
+  Returns fp32 [..., H]."""
+  lead = x.shape[:-1]
+  h = x.shape[-1]
+  if interpret is None:
+    interpret = _INTERPRET
+  fn = _fused_ffn_train_fn(float(eps), jnp.dtype(compute_dtype).name,
+                           bool(interpret))
+  out = fn(x.reshape(-1, h), drop.reshape(-1, h), w1, b1, w2, b2,
+           gamma, beta)
+  return out.reshape(lead + (h,))
+
+
 def ffn_block(x, w1, b1, w2, b2, gamma, beta, *, eps,
               compute_dtype=jnp.bfloat16, interpret=None):
   """Fused FFN sub-block over [..., H] input; returns fp32 [..., H]."""

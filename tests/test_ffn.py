@@ -129,3 +129,98 @@ def test_full_tower_fused_vs_unfused():
     ffn.use_pallas(False)
   np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                              rtol=2e-5, atol=2e-5)
+
+
+def _mask(shape, p, seed=21):
+  rng = np.random.RandomState(seed)
+  return (rng.rand(*shape) >= p).astype(np.float32) / (1.0 - p)
+
+
+def test_train_kernel_matches_xla_with_same_mask():
+  x, w1, b1, w2, b2, gamma, beta = _make_inputs(100, 128, 512, seed=17)
+  drop = _mask((100, 128), 0.3)
+  got = ffn.ffn_block_train(x, drop, w1, b1, w2, b2, gamma, beta,
+                            eps=1e-12, compute_dtype=jnp.float32,
+                            interpret=True)
+  want = ffn.xla_ffn_block_train(x, drop, w1, b1, w2, b2, gamma, beta,
+                                 eps=1e-12, compute_dtype=jnp.float32)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=2e-5, atol=2e-5)
+
+
+def test_train_kernel_grads_match_xla():
+  """All eight cotangents (x, mask, both matmuls, biases, LN scale/bias)
+  from the hybrid Pallas/XLA backward agree with jax.grad of the pure-XLA
+  reference."""
+  args = _make_inputs(64, 64, 256, seed=19)
+  drop = _mask((64, 64), 0.25)
+
+  def loss_fused(x, w1, b1, w2, b2, gamma, beta):
+    out = ffn.ffn_block_train(x, drop, w1, b1, w2, b2, gamma, beta,
+                              eps=1e-12, compute_dtype=jnp.float32,
+                              interpret=True)
+    return jnp.sum(out * jnp.cos(out))   # non-trivial cotangent
+
+  def loss_ref(x, w1, b1, w2, b2, gamma, beta):
+    out = ffn.xla_ffn_block_train(x, drop, w1, b1, w2, b2, gamma, beta,
+                                  eps=1e-12, compute_dtype=jnp.float32)
+    return jnp.sum(out * jnp.cos(out))
+
+  g_fused = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+  g_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+  names = ["x", "w1", "b1", "w2", "b2", "gamma", "beta"]
+  for name, gf, gr in zip(names, g_fused, g_ref):
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=2e-4, atol=1e-5, err_msg=name)
+
+
+def test_train_kernel_p0_equals_eval_kernel():
+  x, w1, b1, w2, b2, gamma, beta = _make_inputs(40, 64, 128, seed=23)
+  ones = np.ones((40, 64), np.float32)
+  a = ffn.ffn_block_train(x, ones, w1, b1, w2, b2, gamma, beta,
+                          eps=1e-12, compute_dtype=jnp.float32,
+                          interpret=True)
+  b = ffn.ffn_block(x, w1, b1, w2, b2, gamma, beta, eps=1e-12,
+                    compute_dtype=jnp.float32, interpret=True)
+  np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                             rtol=1e-6, atol=1e-6)
+
+
+def test_full_tower_train_mode_fused_vs_unfused_grads():
+  """Gradients of the whole FeatureBert in train mode agree between the
+  fused (interpret) path and the flax/XLA path when dropout_prob=0 (so
+  randomness cannot differ)."""
+  from mmt_tpu.config import BertParams
+  from mmt_tpu.models.bert import FeatureBert
+
+  cfg = BertParams(hidden_size=64, num_hidden_layers=2,
+                   num_attention_heads=4, intermediate_size=256,
+                   vocab_size=100, max_position_embeddings=32,
+                   type_vocab_size=4, hidden_dropout_prob=0.0,
+                   attention_probs_dropout_prob=0.0)
+  model = FeatureBert(cfg)
+  rng = np.random.RandomState(29)
+  feats = rng.randn(2, 10, 64).astype(np.float32)
+  mask = np.ones((2, 10), np.int32)
+  types = rng.randint(0, 4, (2, 10)).astype(np.int32)
+  pos = np.tile(np.arange(10, dtype=np.int32), (2, 1))
+  variables = model.init(jax.random.PRNGKey(0), feats, mask, types, pos)
+
+  def loss(params, fused):
+    try:
+      ffn.use_pallas(fused, interpret=fused)
+      out = model.apply({"params": params}, feats, mask, types, pos,
+                        deterministic=False,
+                        rngs={"dropout": jax.random.PRNGKey(7)})
+    finally:
+      ffn.use_pallas(False)
+    return jnp.sum(out ** 2)
+
+  g_ref = jax.grad(lambda p: loss(p, False))(variables["params"])
+  g_fused = jax.grad(lambda p: loss(p, True))(variables["params"])
+  flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+  flat_fused = jax.tree_util.tree_leaves_with_path(g_fused)
+  for (path, a), (_, b) in zip(flat_ref, flat_fused):
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=5e-4, atol=1e-5,
+                               err_msg=jax.tree_util.keystr(path))
