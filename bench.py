@@ -52,6 +52,9 @@ def main():
       {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
       batch, train=False)
 
+  assert N_VIDEOS % BATCH == 0, (
+      f"BENCH_VIDEOS ({N_VIDEOS}) must divide by BENCH_BATCH ({BATCH}); "
+      "a truncated remainder would overstate throughput")
   n_chunks = N_VIDEOS // BATCH
   # The whole eval is ONE jitted program: scan the embed over n_chunks
   # DISTINCT chunks (distinct data defeats CSE — XLA dedupes identical

@@ -72,18 +72,29 @@ class VideoRecord:
     # are per-record constants, so samples shouldn't recompute them.
     self.pooled_full = {}
 
-  def nbytes(self) -> int:
-    total = 0
+  def _arrays(self):
     for group in (self.captions, self.captions_t, self.features.values(),
                   self.features_t.values(), self.features_avgpool.values(),
                   self.features_maxpool.values()):
       for arr in group:
-        total += getattr(np.asarray(arr), "nbytes", 0)
-    return total
+        yield arr
+
+  def nbytes(self) -> int:
+    return sum(getattr(np.asarray(arr), "nbytes", 0)
+               for arr in self._arrays())
+
+  def freeze(self) -> None:
+    """Mark every array read-only.  Samples may hold views/aliases of
+    record arrays (sample.py fast paths), so a mutation downstream must
+    raise instead of silently corrupting the shared cache."""
+    for arr in self._arrays():
+      if isinstance(arr, np.ndarray):
+        arr.flags.writeable = False
 
 
-# Records are immutable once read (make_sample only slices/copies), so a
-# budget-capped RAM cache is safe.  On this 1-core host the h5 read path
+# Cached records are frozen read-only (VideoRecord.freeze) — samples may
+# alias record arrays through sample.py's fast paths, so mutations must
+# raise rather than corrupt the shared cache.  On this 1-core host the h5 read path
 # costs ~3.5 ms/sample — 3x the device's per-sample train-step time — so
 # steady-state training is input-bound without it.  The reference instead
 # amortizes disk reads across 64 DataLoader worker processes
@@ -107,6 +118,7 @@ class RecordCache:
   def put(self, key, record: VideoRecord):
     if self.used >= self.budget or key in self._store:
       return
+    record.freeze()
     self._store[key] = record
     self.used += record.nbytes()
 

@@ -303,6 +303,8 @@ def make_sample(record, tokenizer, experts: Dict[str, int],
           if pooled is None:
             pooled = (np.mean(f_sel, axis=0, keepdims=True),
                       np.max(f_sel, axis=0, keepdims=True))
+            for arr in pooled:
+              arr.flags.writeable = False  # samples alias these (cache!)
             record.pooled_full[expert] = pooled
           avg, mx = pooled
         else:

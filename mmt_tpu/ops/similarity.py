@@ -41,7 +41,8 @@ def use_pallas(enable: bool) -> None:
 
 
 def moe_similarity(text_embds, vid_embds, text_weights, vid_weights,
-                   merge: str = "avg", num_caps: int = 1):
+                   merge: str = "avg", num_caps: int = 1,
+                   prefer_pallas=None):
   """Similarity matrix between all captions and all videos.
 
   Args:
@@ -53,11 +54,16 @@ def moe_similarity(text_embds, vid_embds, text_weights, vid_weights,
     merge: 'avg' (train: mean over a video's captions -> [B, V]) or
            'indep' (eval: keep captions separate -> [Q, V]).
     num_caps: captions per video (Q = B * num_caps).
+    prefer_pallas: None = follow the global use_pallas() setting; False =
+      force the XLA path (callers running under GSPMD sharding must set
+      this — XLA cannot partition a pallas_call and would replicate it,
+      all-gathering the operands to every chip); True = force the kernel.
 
   Returns:
     [B, V] ('avg') or [Q, V] ('indep') similarity matrix, fp32.
   """
-  if _USE_PALLAS and jax.default_backend() == "tpu":
+  use_kernel = _USE_PALLAS if prefer_pallas is None else prefer_pallas
+  if use_kernel and jax.default_backend() == "tpu":
     sims = _fused_moe_similarity(text_embds, vid_embds,
                                  text_weights, vid_weights)
   else:

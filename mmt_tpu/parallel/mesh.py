@@ -38,7 +38,14 @@ def maybe_initialize_distributed():
   (tests/test_parallel.py).
   """
   if os.environ.get("MMT_TPU_COORDINATOR"):
-    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+    # Check the resolved config value, not just the env var: workers may
+    # select the platform via jax.config.update("jax_platforms", "cpu")
+    # (tests/distributed_worker.py does), and backends must not be
+    # touched before jax.distributed.initialize, so jax.default_backend()
+    # is off limits here.
+    platforms = (jax.config.jax_platforms
+                 or os.environ.get("JAX_PLATFORMS", ""))
+    if "cpu" in (platforms or ""):
       jax.config.update(
           "jax_cpu_collectives_implementation",
           os.environ.get("MMT_TPU_CPU_COLLECTIVES", "gloo"))

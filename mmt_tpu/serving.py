@@ -121,6 +121,11 @@ class RetrievalEngine:
       self._dev_weights = jnp.asarray(index.vid_weights)
 
     n_real = len(index)
+    # With a sharded index the similarity MUST stay on the XLA path:
+    # GSPMD cannot partition a pallas_call and would replicate it,
+    # all-gathering the whole index to every chip — the exact thing
+    # sharding exists to avoid.  The XLA einsum partitions cleanly.
+    prefer_pallas = False if mesh is not None else None
 
     @jax.jit
     def query_fn(token_ids, vid_embds, vid_weights):
@@ -130,7 +135,7 @@ class RetrievalEngine:
       sims = similarity_ops.moe_similarity(
           out["text_embds"].reshape(b * k, m, d), vid_embds,
           out["text_weights"].reshape(b * k, m), vid_weights,
-          merge="indep", num_caps=1)
+          merge="indep", num_caps=1, prefer_pallas=prefer_pallas)
       if sims.shape[1] != n_real:
         # Mesh-padding rows must never reach the top-k: their sims are 0
         # (eps-guarded), which would still outrank genuinely negative

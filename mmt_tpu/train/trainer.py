@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import logging
+import math
 import os
 import pathlib
 import time
@@ -63,6 +64,18 @@ def compress_predictions(query_masks: np.ndarray, sims: np.ndarray,
   assert nv == nv2 and nq == nv * per_vid
   valid = sims[query_masks.flatten().astype(bool)]
   return np.argsort(-valid, axis=1)[:, :topk]
+
+
+def _json_sanitize(obj):
+  """Replace non-finite floats with strings so the output is RFC-8259
+  JSON (json.dump would otherwise emit bare `Infinity`/`NaN`)."""
+  if isinstance(obj, dict):
+    return {k: _json_sanitize(v) for k, v in obj.items()}
+  if isinstance(obj, (list, tuple)):
+    return [_json_sanitize(v) for v in obj]
+  if isinstance(obj, float) and not math.isfinite(obj):
+    return str(obj)
+  return obj
 
 
 def pad_batch_to_multiple(batch, multiple: int):
@@ -176,6 +189,18 @@ class Trainer:
             "running replicated (set batch_size to a multiple to shard)",
             mesh_n)
         self.mesh = None
+    if self.mesh is not None:
+      # GSPMD cannot partition a pallas_call: with batch-sharded
+      # activations it would replicate the kernel and all-gather its
+      # operands to every chip, defeating data parallelism.  Until the
+      # kernels carry custom_partitioning rules, sharded runs use the
+      # XLA paths (which partition cleanly).
+      from mmt_tpu.ops import ffn as ffn_ops
+      if ffn_ops.pallas_active() or similarity_ops._USE_PALLAS:
+        logger.info("data mesh active: using XLA op paths "
+                    "(Pallas kernels are not GSPMD-partitionable)")
+      ffn_ops.use_pallas(False)
+      similarity_ops.use_pallas(False)
 
     # Parameter init from the first available batch's shapes.
     self.rng = init_rng if init_rng is not None else jax.random.PRNGKey(
@@ -521,7 +546,9 @@ class Trainer:
       use_fused = (sets != "final_eval"
                    and self.fused_eval_from_videos
                    and n_videos >= self.fused_eval_from_videos
-                   and metric_names <= {"t2v_metrics", "v2t_metrics"})
+                   and metric_names <= {"t2v_metrics", "v2t_metrics"}
+                   # the visualizer reads the sims matrix
+                   and self.visualizer is None)
       sims = None
       if not use_fused:
         with self.timer.time("valid.conf_mat"):
@@ -630,7 +657,10 @@ class Trainer:
                     for ds, d in log.items()}
     res["checkpoint_epoch"] = self.loaded_epoch
     with open(results_path, "w") as f:
-      json.dump(res, f, indent=4)
+      # MeanR/MedR can legitimately be inf (a video whose captions are
+      # all masked ranks at infinity, ops/ranking.py) — python's json
+      # would emit non-RFC `Infinity`, which external parsers reject.
+      json.dump(_json_sanitize(res), f, indent=4)
 
     flag = self.exp_dir / "exp_completed_flag.txt"
     flag.touch()

@@ -166,3 +166,38 @@ def test_two_process_distributed_matches_single_process(tmp_path):
   assert loss0 == loss1 and fp0 == fp1, "processes disagree"
   np.testing.assert_allclose(loss0, loss_s, rtol=1e-6)
   np.testing.assert_allclose(fp0, fp_s, rtol=1e-6)
+
+
+def test_trainer_vetoes_pallas_kernels_under_mesh(tiny_train_setup=None):
+  """A Trainer with an active >1-device mesh must fall back to the XLA
+  op paths: GSPMD cannot partition a pallas_call — it would replicate
+  the kernel and all-gather its sharded operands to every chip."""
+  from mmt_tpu.ops import ffn
+  from mmt_tpu.ops import similarity
+
+  ffn.use_pallas(True, interpret=True)
+  similarity.use_pallas(True)
+  try:
+    import json, pathlib, sys, tempfile, os
+    sys.path.insert(0, "tests")
+    from mmt_tpu.data import synthetic
+    from test_train_e2e import make_config
+    import train as train_cli
+
+    root = pathlib.Path(tempfile.mkdtemp())
+    data_dir = synthetic.generate(root, num_videos=10, num_test=4,
+                                  experts={"rgb": 2048, "s3d": 1024},
+                                  captions_per_video=1)
+    os.environ["MMT_TPU_BERT_VOCAB"] = str(root / "vocab.txt")
+    cfg = make_config(root, data_dir, root / "exps")
+    cfg["train_sets"][0]["args"]["batch_size"] = 8   # divisible by 8 devices
+    cfg["trainer"].update({"epochs": 1, "max_samples_per_epoch": 8})
+    cfg_path = root / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    trainer = train_cli.main(["--config", str(cfg_path)])
+    assert trainer.mesh is not None, "expected the 8-device mesh active"
+    assert not ffn.pallas_active()
+    assert not similarity._USE_PALLAS
+  finally:
+    ffn.use_pallas(False)
+    similarity.use_pallas(False)
