@@ -15,10 +15,16 @@ LayerNorm (fp32 statistics, flax fast-variance formula) fused before the
 single output writeback.  Weights stay VMEM-resident across row tiles
 (constant index map).
 
-Used on the deterministic path only (training keeps the XLA path, which
-carries the dropout between ffn_out and the residual).  A custom VJP
-(backward = jax.vjp of the XLA reference) keeps the op differentiable
-anyway, so eval-mode grads don't crash.
+The deterministic path uses ffn_block (custom VJP backward = jax.vjp of
+the XLA reference, so eval-mode grads don't crash); training uses
+ffn_block_train (fused fwd+bwd with an explicit dropout mask — see the
+section comment below).
+
+Under GSPMD sharding, every pallas entry point carries a
+custom_partitioning rule declaring it row-parallel (dim 0 of the
+activation operands shards; weights replicate) — without the rule the
+partitioner would replicate the kernel and all-gather its sharded
+operands to every chip, defeating data parallelism.
 """
 
 from __future__ import annotations
@@ -30,6 +36,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 _USE_PALLAS = bool(int(os.environ.get("MMT_TPU_PALLAS_FFN", "0")))
 _INTERPRET = False  # tests: run the kernel interpreted on CPU
@@ -121,6 +129,42 @@ def _round_up(x, m):
   return ((x + m - 1) // m) * m
 
 
+def _row_sharded(local_fn, rule, row_args):
+  """custom_partitioning wrapper: the op is row-parallel.
+
+  Dim 0 of the operands in ``row_args`` (and of every output) shards
+  like dim 0 of operand 0; all other operands are replicated.  ``rule``
+  is the einsum-style Shardy sharding rule for propagation.  The
+  partition body is ``local_fn`` itself: each device runs the Pallas
+  kernel on its row shard (the kernels handle arbitrary row counts).
+  """
+  cp = custom_partitioning(local_fn)
+
+  def _row(arg_shapes):
+    spec = arg_shapes[0].sharding.spec
+    return spec[0] if len(spec) else None
+
+  def _mk(mesh, row, shape_like):
+    return NamedSharding(mesh, P(row, *([None] * (len(shape_like.shape) - 1))))
+
+  def infer(mesh, arg_shapes, result_shape):
+    row = _row(arg_shapes)
+    if isinstance(result_shape, (list, tuple)):
+      return tuple(_mk(mesh, row, r) for r in result_shape)
+    return _mk(mesh, row, result_shape)
+
+  def part(mesh, arg_shapes, result_shape):
+    row = _row(arg_shapes)
+    args = tuple(
+        _mk(mesh, row, s) if i in row_args else NamedSharding(mesh, P())
+        for i, s in enumerate(arg_shapes))
+    return mesh, local_fn, infer(mesh, arg_shapes, result_shape), args
+
+  cp.def_partition(partition=part, infer_sharding_from_operands=infer,
+                   sharding_rule=rule)
+  return cp
+
+
 def _pallas_ffn_2d(x, w1, b1, w2, b2, gamma, beta, *, eps, compute_dtype,
                    interpret=False):
   """x: [R, H] -> fp32 [R, H]."""
@@ -184,10 +228,18 @@ def _fused_ffn_fn(eps, compute_dtype, interpret):
   """
   compute_dtype = jnp.dtype(compute_dtype)  # cache key is the name string
 
-  @jax.custom_vjp
-  def fused(x, w1, b1, w2, b2, gamma, beta):
+  # custom_partitioning requires positional-only callables (it cannot
+  # resolve functools.partial keyword arguments).
+  def _local(x, w1, b1, w2, b2, gamma, beta):
     return _pallas_ffn_2d(x, w1, b1, w2, b2, gamma, beta, eps=eps,
                           compute_dtype=compute_dtype, interpret=interpret)
+
+  local = _row_sharded(_local, rule="r h, a b, c, d e, f, g, k -> r h",
+                       row_args={0})
+
+  @jax.custom_vjp
+  def fused(x, w1, b1, w2, b2, gamma, beta):
+    return local(x, w1, b1, w2, b2, gamma, beta)
 
   def fwd(x, w1, b1, w2, b2, gamma, beta):
     return fused(x, w1, b1, w2, b2, gamma, beta), \
@@ -366,25 +418,36 @@ def _fused_ffn_train_fn(eps, compute_dtype, interpret):
   """custom_vjp fused train-time FFN block (explicit dropout mask)."""
   compute_dtype = jnp.dtype(compute_dtype)
 
+  def _local_fwd(x, drop, w1, b1, w2, b2, gamma, beta):
+    return _pallas_ffn_train_fwd(x, drop, w1, b1, w2, b2, gamma, beta,
+                                 eps=eps, compute_dtype=compute_dtype,
+                                 interpret=interpret)
+
+  def _local_bwd(dy, z, inter, drop, w1, w2, gamma):
+    return _pallas_ffn_train_bwd(dy, z, inter, drop, w1, w2, gamma,
+                                 eps=eps, compute_dtype=compute_dtype,
+                                 interpret=interpret)
+
+  local_fwd = _row_sharded(
+      _local_fwd, rule="r h, r h, a b, c, d e, f, g, k -> r h, r b, r h",
+      row_args={0, 1})
+  local_bwd = _row_sharded(
+      _local_bwd, rule="r h, r h, r b, r h, a c, d e, f -> r h, r h, r b",
+      row_args={0, 1, 2, 3})
+
   @jax.custom_vjp
   def fused(x, drop, w1, b1, w2, b2, gamma, beta):
-    out, _, _ = _pallas_ffn_train_fwd(x, drop, w1, b1, w2, b2, gamma, beta,
-                                      eps=eps, compute_dtype=compute_dtype,
-                                      interpret=interpret)
+    out, _, _ = local_fwd(x, drop, w1, b1, w2, b2, gamma, beta)
     return out
 
   def fwd(x, drop, w1, b1, w2, b2, gamma, beta):
-    out, inter, z = _pallas_ffn_train_fwd(
-        x, drop, w1, b1, w2, b2, gamma, beta, eps=eps,
-        compute_dtype=compute_dtype, interpret=interpret)
+    out, inter, z = local_fwd(x, drop, w1, b1, w2, b2, gamma, beta)
     return out, (x, drop, w1, w2, gamma, inter, z)
 
   def bwd(res, dy):
     x, drop, w1, w2, gamma, inter, z = res
     dy = dy.astype(jnp.float32)
-    dx, dz, dinter = _pallas_ffn_train_bwd(
-        dy, z, inter, drop, w1, w2, gamma, eps=eps,
-        compute_dtype=compute_dtype, interpret=interpret)
+    dx, dz, dinter = local_bwd(dy, z, inter, drop, w1, w2, gamma)
     # Weight/scale grads: K = R matmuls and row reductions, left to XLA.
     z32 = z.astype(jnp.float32)
     mean = jnp.mean(z32, axis=-1, keepdims=True)

@@ -190,16 +190,16 @@ class Trainer:
             mesh_n)
         self.mesh = None
     if self.mesh is not None:
-      # GSPMD cannot partition a pallas_call: with batch-sharded
-      # activations it would replicate the kernel and all-gather its
-      # operands to every chip, defeating data parallelism.  Until the
-      # kernels carry custom_partitioning rules, sharded runs use the
-      # XLA paths (which partition cleanly).
-      from mmt_tpu.ops import ffn as ffn_ops
-      if ffn_ops.pallas_active() or similarity_ops._USE_PALLAS:
-        logger.info("data mesh active: using XLA op paths "
-                    "(Pallas kernels are not GSPMD-partitionable)")
-      ffn_ops.use_pallas(False)
+      # The FFN kernels carry custom_partitioning rules (row-parallel,
+      # ops/ffn.py) and stay enabled under the mesh.  The similarity
+      # kernel does NOT: without a rule GSPMD replicates a pallas_call
+      # and all-gathers its sharded operands, so sharded runs take the
+      # XLA similarity path (which partitions cleanly; its operands are
+      # the post-all-gather global embeddings either way).
+      if similarity_ops._USE_PALLAS:
+        logger.info("data mesh active: similarity on the XLA path "
+                    "(the Pallas similarity kernel carries no "
+                    "partitioning rule)")
       similarity_ops.use_pallas(False)
 
     # Parameter init from the first available batch's shapes.

@@ -168,10 +168,11 @@ def test_two_process_distributed_matches_single_process(tmp_path):
   np.testing.assert_allclose(fp0, fp_s, rtol=1e-6)
 
 
-def test_trainer_vetoes_pallas_kernels_under_mesh(tiny_train_setup=None):
-  """A Trainer with an active >1-device mesh must fall back to the XLA
-  op paths: GSPMD cannot partition a pallas_call — it would replicate
-  the kernel and all-gather its sharded operands to every chip."""
+def test_trainer_vetoes_pallas_similarity_under_mesh(tiny_train_setup=None):
+  """A Trainer with an active >1-device mesh must route similarity to
+  the XLA path (the Pallas similarity kernel has no partitioning rule;
+  GSPMD would replicate it and all-gather its operands).  The FFN
+  kernels carry custom_partitioning rules and are allowed to stay on."""
   from mmt_tpu.ops import ffn
   from mmt_tpu.ops import similarity
 
@@ -196,8 +197,60 @@ def test_trainer_vetoes_pallas_kernels_under_mesh(tiny_train_setup=None):
     cfg_path.write_text(json.dumps(cfg))
     trainer = train_cli.main(["--config", str(cfg_path)])
     assert trainer.mesh is not None, "expected the 8-device mesh active"
-    assert not ffn.pallas_active()
+    assert ffn.pallas_active(), "row-partitioned FFN kernels may stay on"
     assert not similarity._USE_PALLAS
   finally:
     ffn.use_pallas(False)
     similarity.use_pallas(False)
+
+
+def test_ffn_kernel_partitions_on_rows():
+  """The fused FFN Pallas kernels shard on the row axis under GSPMD
+  (custom_partitioning rules in ops/ffn.py): with x sharded over the
+  8-device data mesh, output values match the unsharded call and the
+  output STAYS row-sharded (no replication / all-gather)."""
+  from mmt_tpu.ops import ffn
+
+  rng = np.random.RandomState(0)
+  r, h, i = 128, 64, 256
+  x = rng.randn(r, h).astype(np.float32)
+  w1 = (rng.randn(h, i) * 0.05).astype(np.float32)
+  b1 = np.zeros(i, np.float32)
+  w2 = (rng.randn(i, h) * 0.05).astype(np.float32)
+  b2 = np.zeros(h, np.float32)
+  g = np.ones(h, np.float32)
+  bb = np.zeros(h, np.float32)
+
+  want = ffn.ffn_block(x, w1, b1, w2, b2, g, bb, eps=1e-12,
+                       compute_dtype=jnp.float32, interpret=True)
+
+  mesh = mesh_lib.data_mesh()
+  shard = NamedSharding(mesh, P("data", None))
+  xs = jax.device_put(x, shard)
+  fn = jax.jit(lambda *a: ffn.ffn_block(*a, eps=1e-12,
+                                        compute_dtype=jnp.float32,
+                                        interpret=True))
+  got = fn(xs, w1, b1, w2, b2, g, bb)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=1e-5, atol=1e-5)
+  assert got.sharding.spec[0] == "data", got.sharding
+
+  # train-path fwd+bwd: grads of a sharded-batch loss match unsharded
+  drop = (rng.rand(r, h) >= 0.2).astype(np.float32) / 0.8
+
+  def loss(x, w1):
+    out = ffn.ffn_block_train(x, drop, w1, b1, w2, b2, g, bb, eps=1e-12,
+                              compute_dtype=jnp.float32, interpret=True)
+    return jnp.sum(out ** 2)
+
+  gx_1, gw_1 = jax.jit(jax.grad(loss, argnums=(0, 1)))(x, w1)
+  ds = jax.device_put(drop, shard)
+  def loss_sharded(x, w1):
+    out = ffn.ffn_block_train(x, ds, w1, b1, w2, b2, g, bb, eps=1e-12,
+                              compute_dtype=jnp.float32, interpret=True)
+    return jnp.sum(out ** 2)
+  gx_8, gw_8 = jax.jit(jax.grad(loss_sharded, argnums=(0, 1)))(xs, w1)
+  np.testing.assert_allclose(np.asarray(gx_8), np.asarray(gx_1),
+                             rtol=1e-4, atol=1e-5)
+  np.testing.assert_allclose(np.asarray(gw_8), np.asarray(gw_1),
+                             rtol=1e-4, atol=1e-5)
