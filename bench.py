@@ -132,9 +132,10 @@ def main():
                          and jax.default_backend() == "tpu"),
   }
   if train_step_ms is not None:
-    result["train_step_ms_b32"] = round(train_step_ms, 2)
+    train_bs = int(os.environ.get("BENCH_TRAIN_BATCH", "32"))
+    result[f"train_step_ms_b{train_bs}"] = round(train_step_ms, 2)
     result["train_samples_per_sec_per_chip"] = round(
-        32 * 1000 / train_step_ms, 1)
+        train_bs * 1000 / train_step_ms, 1)
   print(json.dumps(result))
 
 
@@ -146,14 +147,17 @@ def _timed(fn):
 
 def _bench_train_step(jax, jnp):
   """Full jitted train step (fwd + similarity + loss + bwd + Adam) on the
-  flagship model, MSRVTT batch size 32 (BASELINE.md training scale)."""
+  flagship model, MSRVTT batch size 32 (BASELINE.md training scale;
+  BENCH_TRAIN_BATCH overrides — e.g. 128 amortizes the Adam update to
+  ~1,450 samples/s, docs/PERF.md)."""
   import optax
   from __graft_entry__ import _flagship_model_and_batch
   from mmt_tpu.models.cenet import similarity_from_outputs
   from mmt_tpu.train.losses import max_margin_ranking_loss
   from mmt_tpu.train.optim import build_optimizer
 
-  model, batch = _flagship_model_and_batch(batch_size=32,
+  train_bs = int(os.environ.get("BENCH_TRAIN_BATCH", "32"))
+  model, batch = _flagship_model_and_batch(batch_size=train_bs,
                                            compute_dtype=jnp.bfloat16)
   variables = model.init(
       {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
