@@ -429,8 +429,13 @@ class CENet(nn.Module):
     return out
 
 
-def similarity_from_outputs(outputs, merge: str):
-  """Full MoE similarity from CENet outputs (caption axis unrolled)."""
+def similarity_from_outputs(outputs, merge: str, prefer_pallas=None):
+  """Full MoE similarity from CENet outputs (caption axis unrolled).
+
+  prefer_pallas=False forces the XLA path — required inside GSPMD-
+  sharded steps (a pallas_call without a partition rule gets replicated
+  with its operands all-gathered; see ops/similarity.py docstring).
+  """
   text_embds = outputs["text_embds"]
   b, k, m, d = text_embds.shape
   return similarity_ops.moe_similarity(
@@ -440,4 +445,5 @@ def similarity_from_outputs(outputs, merge: str):
       outputs["vid_weights"],
       merge=merge,
       num_caps=k,
+      prefer_pallas=prefer_pallas,
   )

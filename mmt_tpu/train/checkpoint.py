@@ -27,9 +27,10 @@ from flax import serialization
 
 logger = logging.getLogger(__name__)
 
-# Accepts our .msgpack names and reference-style .pth names so --resume
-# works on a directory containing converted reference checkpoints too.
-CKPT_RE = r"checkpoint-epoch(\d+)(\.msgpack|\.pth)?$"
+# msgpack only: a reference-style .pth in the exp dir cannot be loaded
+# by this runtime (convert it first, scripts/convert_checkpoint.py), so
+# auto-resume must never pick one up.
+CKPT_RE = r"checkpoint-epoch(\d+)\.msgpack$"
 
 
 def _atomic_write(path, data: bytes):
@@ -52,12 +53,6 @@ def save_checkpoint(ckpt_dir, state: Dict[str, Any], epoch: int,
   if save_best:
     _atomic_write(ckpt_dir / "trained_model.msgpack", blob)
   return str(path)
-
-
-def load_checkpoint(path, target: Dict[str, Any]) -> Dict[str, Any]:
-  """Deserialize into the structure of ``target`` (strict layout)."""
-  with open(path, "rb") as f:
-    return serialization.from_bytes(target, f.read())
 
 
 def load_checkpoint_raw(path) -> Dict[str, Any]:

@@ -189,18 +189,16 @@ class Trainer:
             "running replicated (set batch_size to a multiple to shard)",
             mesh_n)
         self.mesh = None
-    if self.mesh is not None:
-      # The FFN kernels carry custom_partitioning rules (row-parallel,
-      # ops/ffn.py) and stay enabled under the mesh.  The similarity
-      # kernel does NOT: without a rule GSPMD replicates a pallas_call
-      # and all-gathers its sharded operands, so sharded runs take the
-      # XLA similarity path (which partitions cleanly; its operands are
-      # the post-all-gather global embeddings either way).
-      if similarity_ops._USE_PALLAS:
-        logger.info("data mesh active: similarity on the XLA path "
-                    "(the Pallas similarity kernel carries no "
-                    "partitioning rule)")
-      similarity_ops.use_pallas(False)
+    # The FFN kernels carry custom_partitioning rules (row-parallel,
+    # ops/ffn.py) and stay enabled under the mesh.  The similarity
+    # kernel does NOT — the sharded train step forces its XLA path
+    # per-call rather than flipping the module-global toggle, so
+    # single-device engines in the same process keep the kernel.
+    self.sim_prefer_pallas = False if self.mesh is not None else None
+    if self.mesh is not None and similarity_ops._USE_PALLAS:
+      logger.info("data mesh active: in-step similarity on the XLA path "
+                  "(the Pallas similarity kernel carries no "
+                  "partitioning rule)")
 
     # Parameter init from the first available batch's shapes.
     self.rng = init_rng if init_rng is not None else jax.random.PRNGKey(
@@ -217,17 +215,40 @@ class Trainer:
   def _install_preemption_handler(self):
     import signal
 
+    self._preempt_requested = False
+
     def handler(signum, frame):
-      logger.warning("SIGTERM received: saving preemption checkpoint")
-      try:
-        self._save_checkpoint(self.epoch, save_best=False)
-      finally:
-        raise SystemExit(143)
+      # Defer the save to the next step boundary: a SIGTERM landing
+      # mid-train_step would find self.params/opt_state already DONATED
+      # (deleted buffers) and the save itself would crash.  The train
+      # loop checks the flag after every state update (~30 ms latency).
+      logger.warning("SIGTERM received: checkpointing at the next step "
+                     "boundary")
+      self._preempt_requested = True
 
     try:
       signal.signal(signal.SIGTERM, handler)
     except ValueError:
       pass  # not the main thread (e.g. under some test runners)
+
+  def _maybe_preempt_exit(self, completed_epoch: int):
+    """If preemption was requested, checkpoint and exit 143.
+
+    The checkpoint is stamped with the last COMPLETED epoch: a mid-epoch
+    save that claimed the current epoch would make restart skip the rest
+    of that epoch's samples silently.  The (partially trained) params
+    are still saved — they are strictly newer than the completed epoch's.
+    """
+    if not getattr(self, "_preempt_requested", False):
+      return
+    epoch, self.epoch = self.epoch, completed_epoch
+    try:
+      self._save_checkpoint(completed_epoch, save_best=False)
+      logger.warning("preemption checkpoint written (epoch %d complete); "
+                     "exiting", completed_epoch)
+    finally:
+      self.epoch = epoch
+      raise SystemExit(143)
 
   # ------------------------------------------------------------------
   def _make_writer(self, log_dir):
@@ -265,13 +286,15 @@ class Trainer:
   # ------------------------------------------------------------------
   def _build_train_step(self):
     model, loss_fn, tx = self.model, self.loss_fn, self.tx
+    prefer_pallas = self.sim_prefer_pallas
 
     def train_step(params, batch_stats, opt_state, batch, lr, rng):
       def compute_loss(p):
         out, mut = model.apply(
             {"params": p, "batch_stats": batch_stats}, batch, train=True,
             rngs={"dropout": rng}, mutable=["batch_stats"])
-        sims = similarity_from_outputs(out, merge="avg")
+        sims = similarity_from_outputs(out, merge="avg",
+                                       prefer_pallas=prefer_pallas)
         return loss_fn(sims), mut.get("batch_stats", batch_stats)
 
       (loss, new_bs), grads = jax.value_and_grad(
@@ -384,6 +407,9 @@ class Trainer:
           self._save_checkpoint(epoch, save_best=best)
         if epoch > self.num_keep_ckpts:
           ckpt_lib.purge_stale_checkpoints(self.exp_dir, self.num_keep_ckpts)
+      # SIGTERM between epochs (e.g. during the continuous eval above):
+      # this epoch IS complete, checkpoint it as such and exit.
+      self._maybe_preempt_exit(epoch)
 
       self.timer.update("epoch.total", time.time() - epoch_start)
       for key, entry in self.timer.dic.items():
@@ -470,6 +496,7 @@ class Trainer:
       self.rng, step_rng = jax.random.split(self.rng)
       self.params, self.batch_stats, self.opt_state, loss = self.train_step(
           self.params, self.batch_stats, self.opt_state, batch, lr, step_rng)
+      self._maybe_preempt_exit(epoch - 1)
       pending_losses.append(loss)
       self.timer.update("train_batch.step", time.time() - step_start)
       self.timer.update("train_batch.total", time.time() - data_start)
@@ -560,8 +587,14 @@ class Trainer:
               merge="indep", num_caps=k)
           sims = np.asarray(sims_dev)
 
+      # MixDataset evals have dataset_name='Mix' with no cut/split parts
+      # (the reference IndexErrors there, trainer/trainer.py:411-437);
+      # artifact naming just falls back to the plain name.
       parts = dataset_name.split("_")
-      ds_base, cut_name, split_name = parts[0], parts[1], parts[2]
+      if len(parts) >= 3:
+        ds_base, cut_name, split_name = parts[0], parts[1], parts[2]
+      else:
+        ds_base, cut_name, split_name = dataset_name, "", "eval"
 
       if sets == "final_eval":
         if cut_name == "c" and split_name in ("test1", "test2"):
@@ -694,8 +727,6 @@ class Trainer:
   def _resume_checkpoint(self, resume_path):
     resume_path = str(resume_path)
     logger.info("Loading checkpoint from %s", resume_path)
-    target = self._state_dict()
-    target.setdefault("opt_state", self.opt_state)
     raw = ckpt_lib.load_checkpoint_raw(resume_path)
     restart = os.path.dirname(os.path.abspath(resume_path)) == str(
         self.exp_dir.resolve())

@@ -169,10 +169,12 @@ def test_two_process_distributed_matches_single_process(tmp_path):
 
 
 def test_trainer_vetoes_pallas_similarity_under_mesh(tiny_train_setup=None):
-  """A Trainer with an active >1-device mesh must route similarity to
-  the XLA path (the Pallas similarity kernel has no partitioning rule;
-  GSPMD would replicate it and all-gather its operands).  The FFN
-  kernels carry custom_partitioning rules and are allowed to stay on."""
+  """A Trainer with an active >1-device mesh must route the IN-STEP
+  similarity to the XLA path (the Pallas similarity kernel has no
+  partitioning rule; GSPMD would replicate it and all-gather its
+  operands) — per-call (sim_prefer_pallas=False), without flipping the
+  module-global toggle other engines in the process rely on.  The FFN
+  kernels carry custom_partitioning rules and stay on."""
   from mmt_tpu.ops import ffn
   from mmt_tpu.ops import similarity
 
@@ -198,7 +200,8 @@ def test_trainer_vetoes_pallas_similarity_under_mesh(tiny_train_setup=None):
     trainer = train_cli.main(["--config", str(cfg_path)])
     assert trainer.mesh is not None, "expected the 8-device mesh active"
     assert ffn.pallas_active(), "row-partitioned FFN kernels may stay on"
-    assert not similarity._USE_PALLAS
+    assert trainer.sim_prefer_pallas is False
+    assert similarity._USE_PALLAS, "global toggle must not be mutated"
   finally:
     ffn.use_pallas(False)
     similarity.use_pallas(False)

@@ -212,3 +212,45 @@ def test_fused_eval_matches_matrix_path(trained):
         np.testing.assert_allclose(
             res_fused["metrics"][ds][metric_name][key], vals[key],
             err_msg=f"{ds}/{metric_name}/{key}")
+
+
+def test_preemption_defers_and_stamps_completed_epoch(trained):
+  """SIGTERM must not save inside a step (donated buffers) — the handler
+  only sets a flag; _maybe_preempt_exit then checkpoints stamped with
+  the last COMPLETED epoch so restart re-runs the interrupted one."""
+  import signal
+
+  from mmt_tpu.train import checkpoint as ckpt_lib
+
+  trainer, exp_root, cfg_path, root, data_dir = trained
+  # Other tests may have installed handlers bound to their own trainers;
+  # bind the signal back to this one.
+  trainer._install_preemption_handler()
+  handler = signal.getsignal(signal.SIGTERM)
+  assert callable(handler)
+  trainer._preempt_requested = False
+  handler(signal.SIGTERM, None)          # must NOT raise or save
+  assert trainer._preempt_requested
+
+  with pytest.raises(SystemExit) as exc:
+    trainer._maybe_preempt_exit(1)       # mid-epoch-2: epoch 1 completed
+  assert exc.value.code == 143
+  path = pathlib.Path(trainer.exp_dir) / "checkpoint-epoch1.msgpack"
+  assert path.exists()
+  state = ckpt_lib.load_checkpoint_raw(path)
+  assert int(state["epoch"]) == 1, "restart must re-run the cut epoch"
+  # flag cleared path: no request -> no exit
+  trainer._preempt_requested = False
+  trainer._maybe_preempt_exit(1)         # returns quietly
+
+
+def test_last_checkpoint_ignores_unloadable_pth(tmp_path):
+  """Auto-resume discovery must never return a torch .pth (this runtime
+  cannot deserialize it; convert first)."""
+  from mmt_tpu.train.checkpoint import last_checkpoint
+
+  (tmp_path / "checkpoint-epoch7.pth").write_bytes(b"torchzip")
+  assert last_checkpoint(tmp_path) is None
+  (tmp_path / "checkpoint-epoch5.msgpack").write_bytes(b"x")
+  got = last_checkpoint(tmp_path)
+  assert got is not None and got.endswith("checkpoint-epoch5.msgpack")
