@@ -432,9 +432,10 @@ class CENet(nn.Module):
 def similarity_from_outputs(outputs, merge: str, prefer_pallas=None):
   """Full MoE similarity from CENet outputs (caption axis unrolled).
 
-  prefer_pallas=False forces the XLA path — required inside GSPMD-
-  sharded steps (a pallas_call without a partition rule gets replicated
-  with its operands all-gathered; see ops/similarity.py docstring).
+  prefer_pallas=False forces the XLA path (None follows the global
+  toggle).  The Pallas kernel is safe under GSPMD-sharded callers: it
+  carries a custom_partitioning rule (ops/similarity.py:_fused_sim_fn —
+  caption rows shard, video operands all-gather).
   """
   text_embds = outputs["text_embds"]
   b, k, m, d = text_embds.shape

@@ -171,9 +171,13 @@ def _pallas_ffn_2d(x, w1, b1, w2, b2, gamma, beta, *, eps, compute_dtype,
   r, h = x.shape
   i = w1.shape[1]
   # Row tile sized so weights (w1+w2, VMEM-resident) + the fp32 [T, I]
-  # intermediate + double-buffered x/out tiles stay within ~16 MB VMEM:
-  # flagship video (H=512, I=2048): 4 MB weights + 4 MB inter at T=512;
-  # text (H=768, I=3072): 9.4 MB weights -> T=256 keeps inter at 3 MB.
+  # intermediate + double-buffered x/out tiles stay within ~16 MB VMEM.
+  # Both flagship towers (video H=512 I=3072, text H=768 I=3072 — see
+  # configs/eccv20/msrvtt_jsfusion_trainval.json) take the T=256 branch:
+  # video 6.3 MB bf16 weights + 3.1 MB fp32 inter, text 9.4 MB + 3.1 MB.
+  # T=512 is reserved for smaller towers (h*i <= 512*2048: <= 4 MB
+  # weights + <= 4 MB inter); the PERF.md end-to-end numbers were
+  # measured with this routing, i.e. tile 256 on both flagship towers.
   tile_r = _TILE_OVERRIDE or (512 if h * i <= 512 * 2048 else 256)
   tile_r = min(tile_r, _round_up(r, 8))
   # Ragged row counts are left to Pallas' partial-block masking (stores

@@ -24,20 +24,29 @@ model/model.py:827-836.
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 _USE_PALLAS = bool(int(os.environ.get("MMT_TPU_PALLAS_SIMILARITY", "0")))
+_INTERPRET = False  # tests: run the kernel interpreted on CPU
 EPS_ZERO_GUARD = 1e-5  # model/model.py:816
 
 
-def use_pallas(enable: bool) -> None:
-  global _USE_PALLAS
+def use_pallas(enable: bool, interpret: bool = False) -> None:
+  global _USE_PALLAS, _INTERPRET
   _USE_PALLAS = enable
+  _INTERPRET = interpret
+
+
+def pallas_active() -> bool:
+  return _USE_PALLAS and (_INTERPRET or jax.default_backend() == "tpu")
 
 
 def moe_similarity(text_embds, vid_embds, text_weights, vid_weights,
@@ -55,17 +64,18 @@ def moe_similarity(text_embds, vid_embds, text_weights, vid_weights,
            'indep' (eval: keep captions separate -> [Q, V]).
     num_caps: captions per video (Q = B * num_caps).
     prefer_pallas: None = follow the global use_pallas() setting; False =
-      force the XLA path (callers running under GSPMD sharding must set
-      this — XLA cannot partition a pallas_call and would replicate it,
-      all-gathering the operands to every chip); True = force the kernel.
+      force the XLA path; True = force the kernel.  The kernel carries a
+      custom_partitioning rule (caption rows shard, video operands
+      replicate — the all-gather IS the global-batch negative semantics),
+      so it stays usable under GSPMD-sharded callers.
 
   Returns:
     [B, V] ('avg') or [Q, V] ('indep') similarity matrix, fp32.
   """
   use_kernel = _USE_PALLAS if prefer_pallas is None else prefer_pallas
-  if use_kernel and jax.default_backend() == "tpu":
-    sims = _fused_moe_similarity(text_embds, vid_embds,
-                                 text_weights, vid_weights)
+  if use_kernel and (_INTERPRET or jax.default_backend() == "tpu"):
+    sims = _fused_sim_fn(_INTERPRET)(text_embds, vid_embds,
+                                     text_weights, vid_weights)
   else:
     sims = _xla_moe_similarity(text_embds, vid_embds,
                                text_weights, vid_weights)
@@ -97,19 +107,83 @@ def _xla_moe_similarity(text_embds, vid_embds, text_weights, vid_weights):
 #   dtw[q,m]  = sum_v (g/d)[q,v] (vw[v,m]<t,v> - s[q,v] vw[v,m])
 #   dvw analogous.  The guard (d==0 -> eps) is treated as a constant
 #   selection, matching the XLA path's jnp.where gradient.
+#
+# The forward kernel carries a two-sided custom_partitioning rule
+# (_qv_sharded): output dim 0 shards like the caption operands' rows,
+# output dim 1 like the video operands' rows, and each device runs the
+# kernel on its (q-shard, v-shard) block.  Two callers exercise the two
+# sides:
+#   * the trainer's data mesh (both sides batch-sharded on the SAME
+#     axis): the conflict resolves to caption-sharded output with the
+#     video operands all-gathered — exactly the reference's global-batch
+#     negative semantics (trainer/trainer.py:185-199);
+#   * sharded serving (index sharded on the video axis, queries
+#     replicated): the kernel computes shard-local [Q, V/n] blocks and
+#     the downstream top-k merges across chips — the index is never
+#     gathered.
+# The backward is plain XLA einsums that GSPMD partitions natively.
 # ---------------------------------------------------------------------------
 
 
-@jax.custom_vjp
-def _fused_moe_similarity(text_embds, vid_embds, text_weights, vid_weights):
-  return _pallas_moe_similarity(text_embds, vid_embds, text_weights,
-                                vid_weights)
+def _qv_sharded(local_fn):
+  """custom_partitioning for (text[Q,M,D], vid[V,M,D], tw[Q,M], vw[V,M])
+  -> sims[Q,V]: Q shards like the text rows, V like the video rows; when
+  both sides ride the same mesh axis, captions win and the video side is
+  gathered (an output cannot shard two dims on one axis)."""
+  cp = custom_partitioning(local_fn)
+
+  def _axes(arg_shapes):
+    def row(i):
+      spec = arg_shapes[i].sharding.spec
+      return spec[0] if len(spec) else None
+    q = row(0) if row(0) is not None else row(2)
+    v = row(1) if row(1) is not None else row(3)
+    if q is not None and q == v:
+      v = None
+    return q, v
+
+  def infer(mesh, arg_shapes, result_shape):
+    q, v = _axes(arg_shapes)
+    return NamedSharding(mesh, P(q, v))
+
+  def part(mesh, arg_shapes, result_shape):
+    # Follow the RESOLVED output sharding (under Shardy the einsum-style
+    # sharding_rule drives propagation — e.g. a both-sides-batch-sharded
+    # conflict may resolve to either output dim); sharding the operands
+    # to match it avoids a post-kernel reshard.
+    spec = result_shape.sharding.spec
+    q = spec[0] if len(spec) > 0 else None
+    v = spec[1] if len(spec) > 1 else None
+    args = (NamedSharding(mesh, P(q, None, None)),
+            NamedSharding(mesh, P(v, None, None)),
+            NamedSharding(mesh, P(q, None)),
+            NamedSharding(mesh, P(v, None)))
+    return mesh, local_fn, NamedSharding(mesh, P(q, v)), args
+
+  cp.def_partition(partition=part, infer_sharding_from_operands=infer,
+                   sharding_rule="q a b, v c d, q e, v f -> q v")
+  return cp
 
 
-def _fused_fwd(text_embds, vid_embds, text_weights, vid_weights):
-  sims = _pallas_moe_similarity(text_embds, vid_embds, text_weights,
-                                vid_weights)
-  return sims, (text_embds, vid_embds, text_weights, vid_weights, sims)
+@functools.lru_cache(maxsize=None)
+def _fused_sim_fn(interpret: bool):
+  # custom_partitioning requires positional-only callables.
+  def _local(text_embds, vid_embds, text_weights, vid_weights):
+    return _pallas_moe_similarity(text_embds, vid_embds, text_weights,
+                                  vid_weights, interpret=interpret)
+
+  local = _qv_sharded(_local)
+
+  @jax.custom_vjp
+  def fused(text_embds, vid_embds, text_weights, vid_weights):
+    return local(text_embds, vid_embds, text_weights, vid_weights)
+
+  def fwd(text_embds, vid_embds, text_weights, vid_weights):
+    sims = local(text_embds, vid_embds, text_weights, vid_weights)
+    return sims, (text_embds, vid_embds, text_weights, vid_weights, sims)
+
+  fused.defvjp(fwd, _fused_bwd)
+  return fused
 
 
 def _fused_bwd(res, g):
@@ -139,7 +213,10 @@ def _fused_bwd(res, g):
           d_tw.astype(text_weights.dtype), d_vw.astype(vid_weights.dtype))
 
 
-_fused_moe_similarity.defvjp(_fused_fwd, _fused_bwd)
+def _fused_moe_similarity(text_embds, vid_embds, text_weights, vid_weights):
+  """Back-compat alias for tests: the interpret-aware fused kernel."""
+  return _fused_sim_fn(_INTERPRET)(text_embds, vid_embds, text_weights,
+                                   vid_weights)
 
 
 # ---------------------------------------------------------------------------
@@ -167,8 +244,8 @@ def _round_up(x, m):
   return ((x + m - 1) // m) * m
 
 
-@jax.jit
-def _pallas_moe_similarity(text_embds, vid_embds, text_weights, vid_weights):
+def _pallas_moe_similarity(text_embds, vid_embds, text_weights, vid_weights,
+                           interpret: bool = False):
   q, m, d = text_embds.shape
   v = vid_embds.shape[0]
   tw = text_weights.astype(jnp.float32)
@@ -210,5 +287,6 @@ def _pallas_moe_similarity(text_embds, vid_embds, text_weights, vid_weights):
           bytes_accessed=4 * (qp * m * d + vp * m * d + qp * vp),
           transcendentals=0,
       ),
+      interpret=interpret,
   )(t, vv, tw, vw)
   return out[:q, :v]

@@ -121,11 +121,12 @@ class RetrievalEngine:
       self._dev_weights = jnp.asarray(index.vid_weights)
 
     n_real = len(index)
-    # With a sharded index the similarity MUST stay on the XLA path:
-    # GSPMD cannot partition a pallas_call and would replicate it,
-    # all-gathering the whole index to every chip — the exact thing
-    # sharding exists to avoid.  The XLA einsum partitions cleanly.
-    prefer_pallas = False if mesh is not None else None
+    # The Pallas similarity kernel carries a two-sided partitioning rule
+    # (ops/similarity.py:_qv_sharded): with the index sharded on the
+    # video axis it computes shard-local [Q, V/n] blocks and the top-k
+    # below merges across chips — the index is never gathered, on either
+    # path, so the global kernel toggle applies under the mesh too.
+    prefer_pallas = None
 
     @jax.jit
     def query_fn(token_ids, vid_embds, vid_weights):

@@ -134,6 +134,7 @@ class Trainer:
     self.mnt_mode, self.mnt_arg = parse_monitor(monitor)
     if self.mnt_mode in ("min", "max"):
       self.mnt_metric = self.mnt_arg
+      self._validate_monitor_metric()
       self.mnt_best = np.inf if self.mnt_mode == "min" else -np.inf
       self.early_stop = cfg_trainer.get("early_stop", np.inf)
     else:
@@ -189,16 +190,15 @@ class Trainer:
             "running replicated (set batch_size to a multiple to shard)",
             mesh_n)
         self.mesh = None
-    # The FFN kernels carry custom_partitioning rules (row-parallel,
-    # ops/ffn.py) and stay enabled under the mesh.  The similarity
-    # kernel does NOT — the sharded train step forces its XLA path
-    # per-call rather than flipping the module-global toggle, so
-    # single-device engines in the same process keep the kernel.
-    self.sim_prefer_pallas = False if self.mesh is not None else None
+    # Both the FFN and the similarity Pallas kernels carry
+    # custom_partitioning rules (ops/ffn.py:_row_sharded,
+    # ops/similarity.py:_fused_sim_fn), so they stay enabled under the
+    # mesh: GSPMD shards the caption rows and all-gathers exactly the
+    # video operands — the reference's global-batch negative semantics.
     if self.mesh is not None and similarity_ops._USE_PALLAS:
-      logger.info("data mesh active: in-step similarity on the XLA path "
-                  "(the Pallas similarity kernel carries no "
-                  "partitioning rule)")
+      logger.info("data mesh active: Pallas similarity kernel partitioned "
+                  "via its custom_partitioning rule (caption rows shard, "
+                  "video operands all-gather)")
 
     # Parameter init from the first available batch's shapes.
     self.rng = init_rng if init_rng is not None else jax.random.PRNGKey(
@@ -210,6 +210,36 @@ class Trainer:
 
     if config.resume is not None:
       self._resume_checkpoint(config.resume)
+
+  # ------------------------------------------------------------------
+  def _validate_monitor_metric(self):
+    """Fail fast on a monitor key the epoch log will never contain.
+
+    The reference silently disables monitoring on a KeyError mid-run
+    (base/base_trainer.py:150-177) — a misspelled monitor string then
+    quietly turns off early stopping and best-checkpoint tracking.  Here
+    the key is resolved at construction against what _valid_epoch will
+    actually emit: '<dataset>/<metric_fn>/<name>' for every continuous
+    eval set, or one of the scalar epoch-log keys.
+    """
+    scalar_keys = {"epoch", "loss", "learning_rate", "n_samples", "n_steps"}
+    if self.mnt_metric in scalar_keys:
+      return
+    ds_names = {e["dataset"].dataset_name
+                for e in self.data_loaders.get("continuous_eval_sets", [])}
+    metric_fns = {name for name, _ in self.metrics}
+    # cols2metrics output surface (mmt_tpu/train/metrics.py:19-37).
+    value_names = {"R1", "R5", "R10", "R50", "MedR", "MeanR",
+                   "geometric_mean_R1-R5-R10"}
+    valid = {f"{ds}/{fn}/{vn}" for ds in ds_names for fn in metric_fns
+             for vn in value_names}
+    if self.mnt_metric not in valid:
+      hint = sorted(valid)[:4]
+      raise ValueError(
+          f"monitor metric {self.mnt_metric!r} will never appear in the "
+          f"epoch log (eval sets: {sorted(ds_names)}, metrics: "
+          f"{sorted(metric_fns)}); examples of valid keys: {hint} "
+          f"or scalar keys {sorted(scalar_keys)}")
 
   # ------------------------------------------------------------------
   def _install_preemption_handler(self):
@@ -246,9 +276,15 @@ class Trainer:
       self._save_checkpoint(completed_epoch, save_best=False)
       logger.warning("preemption checkpoint written (epoch %d complete); "
                      "exiting", completed_epoch)
+    except Exception:
+      # A failed save must not masquerade as a clean preemption exit:
+      # log it loudly, then still exit 143 (the scheduler is tearing the
+      # job down either way; the previous on-disk checkpoint survives).
+      logger.exception("preemption checkpoint FAILED; exiting without a "
+                       "fresh checkpoint (last periodic save is intact)")
     finally:
       self.epoch = epoch
-      raise SystemExit(143)
+    raise SystemExit(143)
 
   # ------------------------------------------------------------------
   def _make_writer(self, log_dir):
@@ -286,15 +322,13 @@ class Trainer:
   # ------------------------------------------------------------------
   def _build_train_step(self):
     model, loss_fn, tx = self.model, self.loss_fn, self.tx
-    prefer_pallas = self.sim_prefer_pallas
 
     def train_step(params, batch_stats, opt_state, batch, lr, rng):
       def compute_loss(p):
         out, mut = model.apply(
             {"params": p, "batch_stats": batch_stats}, batch, train=True,
             rngs={"dropout": rng}, mutable=["batch_stats"])
-        sims = similarity_from_outputs(out, merge="avg",
-                                       prefer_pallas=prefer_pallas)
+        sims = similarity_from_outputs(out, merge="avg")
         return loss_fn(sims), mut.get("batch_stats", batch_stats)
 
       (loss, new_bs), grads = jax.value_and_grad(
@@ -529,6 +563,13 @@ class Trainer:
     data_start = time.time()
     mesh_n = int(np.prod(self.mesh.devices.shape)) if self.mesh else 1
     for batch in loader:
+      # A SIGTERM landing during a long eval must not wait for the whole
+      # eval to finish (that can exceed a scheduler's grace period): eval
+      # state is safe to abandon, only the params need saving.  The
+      # current epoch's training is already complete whenever an eval
+      # runs (continuous eval follows _train_epoch; final eval follows
+      # training), so self.epoch is the right completed-epoch stamp.
+      self._maybe_preempt_exit(self.epoch)
       self.timer.update("valid_batch.data_loading", time.time() - data_start)
       step_start = time.time()
       padded, n = pad_batch_to_multiple(model_batch(batch), mesh_n)

@@ -168,18 +168,17 @@ def test_two_process_distributed_matches_single_process(tmp_path):
   np.testing.assert_allclose(fp0, fp_s, rtol=1e-6)
 
 
-def test_trainer_vetoes_pallas_similarity_under_mesh(tiny_train_setup=None):
-  """A Trainer with an active >1-device mesh must route the IN-STEP
-  similarity to the XLA path (the Pallas similarity kernel has no
-  partitioning rule; GSPMD would replicate it and all-gather its
-  operands) — per-call (sim_prefer_pallas=False), without flipping the
-  module-global toggle other engines in the process rely on.  The FFN
-  kernels carry custom_partitioning rules and stay on."""
+def test_trainer_runs_pallas_kernels_under_mesh(tiny_train_setup=None):
+  """A Trainer with an active >1-device mesh keeps BOTH Pallas kernel
+  families enabled: the FFN kernels and the similarity kernel all carry
+  custom_partitioning rules (ops/ffn.py:_row_sharded,
+  ops/similarity.py:_qv_sharded), so the sharded train step runs them
+  partitioned instead of forcing the XLA path."""
   from mmt_tpu.ops import ffn
   from mmt_tpu.ops import similarity
 
   ffn.use_pallas(True, interpret=True)
-  similarity.use_pallas(True)
+  similarity.use_pallas(True, interpret=True)
   try:
     import json, pathlib, sys, tempfile, os
     sys.path.insert(0, "tests")
@@ -199,11 +198,75 @@ def test_trainer_vetoes_pallas_similarity_under_mesh(tiny_train_setup=None):
     cfg_path.write_text(json.dumps(cfg))
     trainer = train_cli.main(["--config", str(cfg_path)])
     assert trainer.mesh is not None, "expected the 8-device mesh active"
-    assert ffn.pallas_active(), "row-partitioned FFN kernels may stay on"
-    assert trainer.sim_prefer_pallas is False
-    assert similarity._USE_PALLAS, "global toggle must not be mutated"
+    assert ffn.pallas_active(), "row-partitioned FFN kernels stay on"
+    assert similarity.pallas_active(), "partitioned similarity stays on"
   finally:
     ffn.use_pallas(False)
+    similarity.use_pallas(False)
+
+
+def test_similarity_kernel_partitions_both_ways():
+  """The Pallas similarity kernel's custom_partitioning rule
+  (ops/similarity.py:_qv_sharded) under the 8-device mesh:
+
+  * trainer case — both sides sharded on the same 'data' axis: values
+    match the unsharded kernel and the output is caption-row-sharded
+    (the video side all-gathers: global-batch negatives);
+  * serving case — video operands sharded, captions replicated: values
+    match and the output stays sharded on the VIDEO axis (the index is
+    never gathered);
+  * grads of a sharded loss through the custom_vjp match unsharded.
+  """
+  from mmt_tpu.ops import similarity
+
+  rng = np.random.RandomState(0)
+  q, v, m, d = 16, 24, 3, 32
+  t = rng.randn(q, m, d).astype(np.float32)
+  vv = rng.randn(v, m, d).astype(np.float32)
+  tw = np.abs(rng.randn(q, m)).astype(np.float32)
+  vw = np.abs(rng.randn(v, m)).astype(np.float32)
+
+  similarity.use_pallas(True, interpret=True)
+  try:
+    fused = similarity._fused_moe_similarity
+    want = np.asarray(jax.jit(fused)(t, vv, tw, vw))
+
+    mesh = mesh_lib.data_mesh()
+    row3 = NamedSharding(mesh, P("data", None, None))
+    row2 = NamedSharding(mesh, P("data", None))
+    rep = NamedSharding(mesh, P())
+
+    # Trainer case: everything batch-sharded on 'data'.
+    got = jax.jit(fused, in_shardings=(row3, row3, row2, row2))(
+        jax.device_put(t, row3), jax.device_put(vv, row3),
+        jax.device_put(tw, row2), jax.device_put(vw, row2))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+    # The same-axis conflict resolves to ONE sharded output dim (which
+    # one is the propagator's choice); it must not fall back to fully
+    # replicated (= the kernel replicated + both operands gathered).
+    assert "data" in tuple(got.sharding.spec), got.sharding
+
+    # Serving case: index sharded on the video axis, queries replicated.
+    got2 = jax.jit(fused, in_shardings=(rep, row3, rep, row2))(
+        jax.device_put(t, rep), jax.device_put(vv, row3),
+        jax.device_put(tw, rep), jax.device_put(vw, row2))
+    np.testing.assert_allclose(np.asarray(got2), want, rtol=1e-5, atol=1e-5)
+    spec = got2.sharding.spec
+    assert len(spec) == 2 and spec[1] == "data", got2.sharding
+
+    # Gradients through the custom_vjp under the trainer sharding.
+    def loss(t, vv, tw, vw):
+      return jnp.sum(fused(t, vv, tw, vw) ** 2)
+
+    g1 = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(t, vv, tw, vw)
+    g8 = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)),
+                 in_shardings=(row3, row3, row2, row2))(
+        jax.device_put(t, row3), jax.device_put(vv, row3),
+        jax.device_put(tw, row2), jax.device_put(vw, row2))
+    for a, b in zip(g1, g8):
+      np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                 rtol=1e-4, atol=1e-5)
+  finally:
     similarity.use_pallas(False)
 
 

@@ -244,6 +244,35 @@ def test_preemption_defers_and_stamps_completed_epoch(trained):
   trainer._maybe_preempt_exit(1)         # returns quietly
 
 
+def test_monitor_key_validated_at_startup(trained):
+  """A monitor string the epoch log can never contain must raise at
+  Trainer construction, not silently disable early stopping mid-run
+  (the reference's behavior, base/base_trainer.py:150-177 — exceeded
+  here).  Valid metric keys and scalar keys are both accepted."""
+  import train as train_cli
+
+  trainer, exp_root, cfg_path, root, data_dir = trained
+  cfg = json.loads(cfg_path.read_text())
+
+  good = dict(cfg)
+  good["trainer"] = {**cfg["trainer"],
+                    "monitor": "max MSRVTT_jsfusion_test/t2v_metrics/R1",
+                    "epochs": 1, "max_samples_per_epoch": 4,
+                    "save_dir": str(exp_root / "mon_good")}
+  good_path = root / "mon_good.json"
+  good_path.write_text(json.dumps(good))
+  train_cli.main(["--config", str(good_path)])   # must construct + run
+
+  bad = dict(cfg)
+  bad["trainer"] = {**cfg["trainer"],
+                    "monitor": "max MSRVTT_jsfusion_test/t2v_metrics/R2",
+                    "save_dir": str(exp_root / "mon_bad")}
+  bad_path = root / "mon_bad.json"
+  bad_path.write_text(json.dumps(bad))
+  with pytest.raises(ValueError, match="will never appear"):
+    train_cli.main(["--config", str(bad_path)])
+
+
 def test_last_checkpoint_ignores_unloadable_pth(tmp_path):
   """Auto-resume discovery must never return a torch .pth (this runtime
   cannot deserialize it; convert first)."""
