@@ -193,8 +193,13 @@ def last_checkpoint_path(exp_dir) -> Optional[str]:
   return last_checkpoint(exp_dir)
 
 
-def from_args(args) -> Config:
-  """Build a Config from CLI args (parse_config.py:36-136 semantics)."""
+def from_args(args, primary: bool = True) -> Config:
+  """Build a Config from CLI args (parse_config.py:36-136 semantics).
+
+  ``primary=False`` (secondary processes of a multi-host run) skips the
+  config re-dump — every process derives the identical config, and
+  concurrent writes to the shared config.json would race.
+  """
   if getattr(args, "resume", None):
     assert getattr(args, "config", None) is None, (
         "If resuming an experiment then no config should be provided")
@@ -217,7 +222,8 @@ def from_args(args) -> Config:
                resume=resume,
                only_eval=bool(getattr(args, "only_eval", False)))
   cfg.prepare_dirs()
-  cfg.dump()
+  if primary:
+    cfg.dump()
   return cfg
 
 

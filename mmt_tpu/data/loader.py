@@ -125,6 +125,17 @@ class ExpertDataLoader:
     self.until_epoch = until_epoch
     self.n_pairs = n_pairs
 
+    # Multi-process training feeds each process the IDENTICAL global
+    # batch stream (mesh.shard_batch scatters each process's rows), which
+    # requires bit-deterministic assembly: the per-sample transforms draw
+    # from the config-seeded global numpy RNG, and thread-pool workers
+    # would consume it in a nondeterministic order.
+    import jax
+    if num_workers and jax.process_count() > 1:
+      logger.warning("multi-process run: forcing num_workers=0 so all "
+                     "processes assemble identical global batches")
+      num_workers = 0
+
     dataset = MixDataset(mix=mix, raw_input_dims=raw_input_dims,
                          training=training, tokenizer=tokenizer,
                          n_pairs=n_pairs, loaded_data=loaded_data,

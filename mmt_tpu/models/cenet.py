@@ -124,25 +124,33 @@ class CENet(nn.Module):
         text_dim = self.we_dim
     self.text_dim = text_dim
 
-    # --- per-modality text projections ---
-    if self.txt_pro == "gbn":
-      self.text_gu = {m: C.GatedEmbeddingUnit(
-          self.same_dim, use_bn=True, normalize=self.normalize_experts,
-          name=f"text_gu_{m}") for m in mods}
-    elif self.txt_pro == "gem":
-      self.text_gu = {m: C.GatedEmbeddingUnit(
-          self.same_dim, use_bn=False, normalize=self.normalize_experts,
+    # Per-modality heads run as batched einsums over stacked weights
+    # (TPU-first replacement for the reference's python loop,
+    # model/model.py:413-418); MMT_TPU_BATCHED_HEADS=0 falls back to the
+    # per-modality loop OVER THE SAME parameter holders for A/B perf
+    # measurement — both paths are the same math (docs/PERF.md).
+    import os as _os
+    self.batched_heads = bool(int(
+        _os.environ.get("MMT_TPU_BATCHED_HEADS", "1")))
+
+    # --- per-modality text projections (checkpoint tree preserved via
+    # parameter holders: text_gu_<m>/fc, text_gu_<m>/cg/...) ---
+    if self.txt_pro in ("gbn", "gem"):
+      self.text_gu = {m: C.GEUParams(
+          self.text_dim, self.same_dim, use_bn=self.txt_pro == "gbn",
           name=f"text_gu_{m}") for m in mods}
     elif self.txt_pro == "lin":
-      self.text_gu = {m: C.ReduceDim(self.same_dim, name=f"text_gu_{m}")
-                      for m in mods}
+      self.text_gu = {m: C.ReduceDimParams(
+          self.text_dim, self.same_dim, name=f"text_gu_{m}") for m in mods}
     else:
       raise ValueError(f"unknown txt_pro {self.txt_pro!r}")
 
     # --- video projections ---
     if self.vid_inp in ("agg", "both", "all", "temp"):
       self.video_dim_reduce = {
-          m: C.ReduceDim(self.same_dim, name=f"video_dim_reduce_{m}")
+          m: C.ReduceDimParams(int(self.expert_dims[m]["dim"]),
+                               self.same_dim,
+                               name=f"video_dim_reduce_{m}")
           for m in mods}
 
     if self.vid_cont == "bert":
@@ -175,13 +183,17 @@ class CENet(nn.Module):
       # model/model.py:592).
       raise ValueError("vid_wgh='emb' requires vid_cont='bert'")
 
-    # --- MoE weight heads ---
+    # --- MoE weight heads (M Dense(D->1) heads -> one [D, M] matmul) ---
     if self.txt_wgh == "emb":
-      self.moe_fc_txt = {m: nn.Dense(1, name=f"moe_fc_txt_{m}") for m in mods}
+      self.moe_fc_txt = {m: C.DenseParams(self.text_dim, 1,
+                                          name=f"moe_fc_txt_{m}")
+                         for m in mods}
       p = (self.txt_bert_params or {}).get("hidden_dropout_prob", 0.1)
       self.moe_txt_dropout = nn.Dropout(float(p))
     if self.vid_wgh == "emb":
-      self.moe_fc_vid = {m: nn.Dense(1, name=f"moe_fc_vid_{m}") for m in mods}
+      self.moe_fc_vid = {m: C.DenseParams(self.same_dim, 1,
+                                          name=f"moe_fc_vid_{m}")
+                         for m in mods}
       p = dict(self.vid_bert_params).get("hidden_dropout_prob", 0.1)
       self.moe_vid_dropout = nn.Dropout(float(p))
 
@@ -238,14 +250,28 @@ class CENet(nn.Module):
       else:
         raise ValueError(f"unknown txt_agg {self.txt_agg!r}")
 
-    text_embd = {mod: self.text_gu[mod](text, train=train).reshape(b, k, -1)
-                 if self.txt_pro in ("gbn", "gem")
-                 else self.text_gu[mod](text).reshape(b, k, -1)
-                 for mod in mods}
+    # All per-modality text heads batched over the modality axis
+    # (components.py batched_* — the params stay per-modality holders).
+    gu_parts = [self.text_gu[mod]() for mod in mods]
+    if self.txt_pro in ("gbn", "gem"):
+      geu = lambda parts: C.batched_gated_embedding(
+          text, parts, use_bn=self.txt_pro == "gbn", train=train,
+          normalize=self.normalize_experts)
+    else:  # lin
+      geu = lambda parts: C.batched_reduce_dim(text, parts, normalize=True)
+    if self.batched_heads:
+      stacked = geu(gu_parts)                              # [b*k, M, D]
+    else:
+      stacked = jnp.concatenate([geu([p]) for p in gu_parts], axis=1)
 
     if self.txt_wgh == "emb":
       e = self.moe_txt_dropout(text, deterministic=not train)
-      logits = jnp.concatenate([self.moe_fc_txt[mod](e) for mod in mods], -1)
+      heads = [self.moe_fc_txt[mod]() for mod in mods]
+      if self.batched_heads:
+        logits = C.batched_moe_logits(e, heads)
+      else:
+        logits = jnp.concatenate(
+            [C.batched_moe_logits(e, [h]) for h in heads], -1)
       text_weights = jax.nn.softmax(logits, axis=1).reshape(b, k, m)
     elif self.txt_wgh == "none":
       text_weights = jnp.ones((b, k, m), dtype=jnp.float32)
@@ -255,8 +281,8 @@ class CENet(nn.Module):
     text_weights = C.l1_normalize(text_weights)
 
     if self.normalize_experts:
-      text_embd = {mod: C.l2_normalize(v) for mod, v in text_embd.items()}
-    text_embds = jnp.stack([text_embd[mod] for mod in mods], axis=2)
+      stacked = C.l2_normalize(stacked)
+    text_embds = stacked.reshape(b, k, m, -1)
     return {
         "text_embds": text_embds.astype(jnp.float32),
         "text_weights": text_weights.astype(jnp.float32),
@@ -272,18 +298,40 @@ class CENet(nn.Module):
     b = batch["features_ind"][mods[0]].shape[0]
     ind = {mod: jnp.max(batch["features_ind"][mod], axis=1) for mod in mods}
 
+    vdr = {mod: self.video_dim_reduce[mod]() for mod in mods} \
+        if hasattr(self, "video_dim_reduce") else {}
+
     mnp_experts, maxp_experts = {}, {}
     if self.vid_inp in ("agg", "both", "all"):
-      for mod in mods:
-        mnp_experts[mod] = self.video_dim_reduce[mod](
-            batch["features_avgpool"][mod])
-        maxp_experts[mod] = self.video_dim_reduce[mod](
-            batch["features_maxpool"][mod])
+      # Ragged expert dims: zero-padded batched einsum over all M
+      # reducers at once (exact; components.py:batched_reduce_dim_ragged)
+      # instead of the reference's M-matmul loop (model/model.py:413-437).
+      parts = [vdr[mod] for mod in mods]
+      if self.batched_heads:
+        avg = C.batched_reduce_dim_ragged(
+            [batch["features_avgpool"][mod] for mod in mods], parts)
+        mxp = C.batched_reduce_dim_ragged(
+            [batch["features_maxpool"][mod] for mod in mods], parts)
+      else:
+        avg = jnp.concatenate(
+            [C.batched_reduce_dim_ragged([batch["features_avgpool"][mod]],
+                                         [vdr[mod]]) for mod in mods], 1)
+        mxp = jnp.concatenate(
+            [C.batched_reduce_dim_ragged([batch["features_maxpool"][mod]],
+                                         [vdr[mod]]) for mod in mods], 1)
+      for i, mod in enumerate(mods):
+        mnp_experts[mod] = avg[:, i]
+        maxp_experts[mod] = mxp[:, i]
 
     temp_feats = {}
     if self.vid_inp in ("temp", "both", "all"):
+      # Temporal tokens keep the per-modality matmuls: padding [B, L, D_m]
+      # streams to max(D_m) costs more HBM traffic than the dispatch
+      # merge saves (docs/PERF.md).
       for mod in mods:
-        temp_feats[mod] = self.video_dim_reduce[mod](batch["features"][mod])
+        kern, bias = vdr[mod]
+        temp_feats[mod] = C.l2_normalize(
+            batch["features"][mod] @ kern + bias)
 
     experts: Dict[str, jnp.ndarray] = {}
     vid_embd = None
@@ -312,7 +360,12 @@ class CENet(nn.Module):
       vid_weights = norms / jnp.sum(norms, axis=-1, keepdims=True)
     elif self.vid_wgh == "emb":
       e = self.moe_vid_dropout(vid_embd, deterministic=not train)
-      logits = jnp.concatenate([self.moe_fc_vid[mod](e) for mod in mods], -1)
+      heads = [self.moe_fc_vid[mod]() for mod in mods]
+      if self.batched_heads:
+        logits = C.batched_moe_logits(e, heads)
+      else:
+        logits = jnp.concatenate(
+            [C.batched_moe_logits(e, [h]) for h in heads], -1)
       vid_weights = jax.nn.softmax(logits, axis=1)
     elif self.vid_wgh == "none":
       vid_weights = jnp.ones((b, m), dtype=jnp.float32)

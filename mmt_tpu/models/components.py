@@ -215,6 +215,188 @@ class LSTMPooler(nn.Module):
     return nn.Dense(self.output_dim, name="fc")(final_h)
 
 
+# ---------------------------------------------------------------------------
+# Batched per-modality heads.
+#
+# The reference applies its projection heads in a python loop over the 7
+# modalities (model/model.py:413-418, 589-618) — 21+ tiny matmuls per
+# forward, each far too small to occupy the MXU.  TPU-first, the heads
+# are evaluated as single batched einsums over stacked [M, D_in, D_out]
+# weights.  The parameters stay in the reference checkpoint tree
+# (text_gu_<m>/fc/kernel, .../cg/batch_norm/bn/..., moe_fc_txt_<m>/...)
+# via parameter-holder modules — the same trick bert.py:_Proj uses for
+# the fused FFN kernel — so converted checkpoints and warm starts are
+# unaffected.
+# ---------------------------------------------------------------------------
+
+
+class DenseParams(nn.Module):
+  """Parameter holder with nn.Dense's exact tree ({kernel, bias})."""
+  in_dim: int
+  out_dim: int
+
+  @nn.compact
+  def __call__(self):
+    kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                        (self.in_dim, self.out_dim))
+    bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+    return kernel, bias
+
+
+class _BNParams(nn.Module):
+  """Holder with nn.BatchNorm's tree: params {scale, bias}, batch_stats
+  {mean, var}.  Returns the stats as mutable flax Variables so the
+  batched-apply code can write the running updates."""
+  features: int
+
+  @nn.compact
+  def __call__(self):
+    scale = self.param("scale", nn.initializers.ones, (self.features,))
+    bias = self.param("bias", nn.initializers.zeros, (self.features,))
+    mean = self.variable("batch_stats", "mean",
+                         lambda: jnp.zeros((self.features,), jnp.float32))
+    var = self.variable("batch_stats", "var",
+                        lambda: jnp.ones((self.features,), jnp.float32))
+    return scale, bias, mean, var
+
+
+class _TorchBNParams(nn.Module):
+  """Nesting shim reproducing TorchBatchNorm's tree (batch_norm/bn/...)."""
+  features: int
+
+  @nn.compact
+  def __call__(self):
+    return _BNParams(self.features, name="bn")()
+
+
+class _CGParams(nn.Module):
+  """ContextGating's tree: fc {kernel, bias} + optional batch_norm/bn."""
+  dim: int
+  use_bn: bool
+
+  @nn.compact
+  def __call__(self):
+    fc = DenseParams(self.dim, self.dim, name="fc")()
+    bn = _TorchBNParams(self.dim, name="batch_norm")() if self.use_bn \
+        else None
+    return fc, bn
+
+
+class GEUParams(nn.Module):
+  """GatedEmbeddingUnit's exact tree (fc + cg/...), params only."""
+  in_dim: int
+  out_dim: int
+  use_bn: bool
+
+  @nn.compact
+  def __call__(self):
+    fc = DenseParams(self.in_dim, self.out_dim, name="fc")()
+    cg = _CGParams(self.out_dim, self.use_bn, name="cg")()
+    return fc, cg
+
+
+class ReduceDimParams(nn.Module):
+  """ReduceDim's exact tree (fc/{kernel, bias}), params only."""
+  in_dim: int
+  out_dim: int
+
+  @nn.compact
+  def __call__(self):
+    return DenseParams(self.in_dim, self.out_dim, name="fc")()
+
+
+def _batched_torch_bn(x, stacks, *, train: bool,
+                      momentum: float = 0.9, eps: float = 1e-5):
+  """BatchNorm over the channel axes of x [B, M, D] with per-modality
+  parameters, exactly flax nn.BatchNorm's math (fast variance, biased
+  running var) as used by TorchBatchNorm — every (m, d) pair is an
+  independent channel, so the batched form is bit-equivalent to M
+  separate BatchNorm(D) calls up to reduction order.
+  """
+  scales, biases, means, variances = stacks
+  scale = jnp.stack([s for s in scales])          # [M, D]
+  bias = jnp.stack([b for b in biases])
+  if train:
+    mean = jnp.mean(x, axis=0)                    # [M, D] batch moments
+    mean2 = jnp.mean(jax.lax.square(x), axis=0)
+    var = mean2 - jax.lax.square(mean)
+    for i, (rm, rv) in enumerate(zip(means, variances)):
+      rm.value = momentum * rm.value + (1 - momentum) * mean[i]
+      rv.value = momentum * rv.value + (1 - momentum) * var[i]
+  else:
+    mean = jnp.stack([rm.value for rm in means])
+    var = jnp.stack([rv.value for rv in variances])
+  y = (x - mean[None]) * jax.lax.rsqrt(var[None] + eps)
+  return y * scale[None] + bias[None]
+
+
+def batched_gated_embedding(x, geu_params, *, use_bn: bool, train: bool,
+                            normalize: bool = True):
+  """All modalities' GatedEmbeddingUnits in two batched einsums.
+
+  x: [B, D_in] shared input (the caption embedding feeds every per-
+  modality GEU, model/model.py:413-418); geu_params: list over
+  modalities of GEUParams() outputs.  Returns [B, M, D_out].
+  """
+  fc, cg = zip(*geu_params)
+  w1 = jnp.stack([k for k, _ in fc])              # [M, D_in, D_out]
+  b1 = jnp.stack([b for _, b in fc])              # [M, D_out]
+  cg_fc, cg_bn = zip(*cg)
+  wc = jnp.stack([k for k, _ in cg_fc])           # [M, D_out, D_out]
+  bc = jnp.stack([b for _, b in cg_fc])
+
+  h = jnp.einsum("bd,mde->bme", x, w1) + b1[None]          # [B, M, D]
+  g = jnp.einsum("bme,mef->bmf", h, wc) + bc[None]
+  if use_bn:
+    stacks = tuple(zip(*cg_bn))                   # (scales, biases, ms, vs)
+    g = _batched_torch_bn(g, stacks, train=train)
+  out = h * jax.nn.sigmoid(g)
+  if normalize:
+    out = l2_normalize(out)
+  return out
+
+
+def batched_reduce_dim(x, dense_params, normalize: bool = True):
+  """All modalities' ReduceDims in one batched einsum (shared input).
+
+  x: [B, D_in]; dense_params: list of DenseParams() outputs with a
+  COMMON in_dim.  Returns [B, M, D_out].
+  """
+  w = jnp.stack([k for k, _ in dense_params])
+  b = jnp.stack([bb for _, bb in dense_params])
+  out = jnp.einsum("bd,mde->bme", x, w) + b[None]
+  return l2_normalize(out) if normalize else out
+
+
+def batched_reduce_dim_ragged(xs, dense_params, normalize: bool = True):
+  """Ragged-input ReduceDims: per-modality inputs xs[i] of width D_i are
+  zero-padded to max(D_i) and reduced in ONE batched einsum (zero pad
+  rows meet zero-padded kernel rows, so the result is exact).
+
+  xs: list of [B, D_i]; returns [B, M, D_out].
+  """
+  d_max = max(x.shape[-1] for x in xs)
+  xp = jnp.stack([
+      jnp.pad(x, ((0, 0), (0, d_max - x.shape[-1]))) for x in xs], axis=1)
+  wp = jnp.stack([
+      jnp.pad(k, ((0, d_max - k.shape[0]), (0, 0)))
+      for k, _ in dense_params])
+  b = jnp.stack([bb for _, bb in dense_params])
+  out = jnp.einsum("bmd,mde->bme", xp, wp) + b[None]
+  return l2_normalize(out) if normalize else out
+
+
+def batched_moe_logits(x, dense_params):
+  """All modalities' Dense(D->1) MoE heads as one [D, M] matmul.
+
+  Exactly concat([head_m(x) for m]) (model/model.py:589-618) with the
+  M matmul dispatches collapsed into one.
+  """
+  w = jnp.concatenate([k for k, _ in dense_params], axis=1)   # [D, M]
+  b = jnp.stack([bb[0] for _, bb in dense_params])            # [M]
+  return x @ w + b[None]
+
+
 class TxtEmbeddings(nn.Module):
   """Standalone word-embedding table with frozen-at-zero PAD row."""
   vocab_size: int

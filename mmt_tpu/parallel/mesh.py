@@ -29,14 +29,22 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+_DISTRIBUTED_INITIALIZED = False
+
+
 def maybe_initialize_distributed():
   """Multi-host: initialize the JAX distributed runtime if configured.
 
   On the CPU backend cross-process collectives need an explicit transport;
   default to gloo (override with MMT_TPU_CPU_COLLECTIVES) — this is also
   how the 2-process smoke test runs without TPU hardware
-  (tests/test_parallel.py).
+  (tests/test_parallel.py).  Idempotent: safe to call from both the CLI
+  entry and library code.
   """
+  global _DISTRIBUTED_INITIALIZED
+  if _DISTRIBUTED_INITIALIZED:
+    return
+  _DISTRIBUTED_INITIALIZED = True
   if os.environ.get("MMT_TPU_COORDINATOR"):
     # Check the resolved config value, not just the env var: workers may
     # select the platform via jax.config.update("jax_platforms", "cpu")
@@ -73,13 +81,57 @@ def batch_sharding(mesh: Mesh):
   return NamedSharding(mesh, P("data"))
 
 
+def _global_put(x, sharding):
+  """Host value -> global jax.Array on a (possibly multi-process) mesh.
+
+  Every process must hold the SAME host value (lockstep loading); each
+  contributes only its addressable shards via the callback.
+  """
+  arr = np.asarray(x)
+  return jax.make_array_from_callback(arr.shape, sharding,
+                                      lambda idx: arr[idx])
+
+
 def shard_batch(mesh: Optional[Mesh], batch):
-  """Place a host batch onto the mesh (axis 0 over 'data')."""
+  """Place a host batch onto the mesh (axis 0 over 'data').
+
+  Multi-process: every process loads the identical GLOBAL batch (the
+  loaders are deterministic in lockstep) and this scatters each process's
+  own rows — the TPU equivalent of the reference's single-process
+  DataParallel scatter (base/base_trainer.py:49-50) extended to hosts.
+  """
   if mesh is None:
     return batch
   spec = NamedSharding(mesh, P("data"))
+  if jax.process_count() > 1:
+    return jax.tree_util.tree_map(
+        lambda x: _global_put(x, spec) if hasattr(x, "shape") else x, batch)
   return jax.tree_util.tree_map(
       lambda x: jax.device_put(x, spec) if hasattr(x, "shape") else x, batch)
+
+
+def replicate_tree(mesh: Optional[Mesh], tree):
+  """Host pytree -> fully-replicated global arrays across all processes.
+
+  No-op single-process (jit replicates host values itself there); under
+  multi-process every jit argument must be a global array, so params /
+  optimizer state / RNG keys go through here once before stepping.
+  """
+  if mesh is None or jax.process_count() <= 1:
+    return tree
+  spec = NamedSharding(mesh, P())
+  return jax.tree_util.tree_map(
+      lambda x: _global_put(x, spec) if hasattr(x, "shape") else x, tree)
+
+
+def barrier(name: str = "mmt_tpu_barrier"):
+  """Cross-process sync point (no-op single-process).
+
+  Used where one process's filesystem writes must complete before the
+  others read them (checkpoint write -> final-eval load)."""
+  if jax.process_count() > 1:
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(name)
 
 
 def replicated(mesh: Optional[Mesh]):

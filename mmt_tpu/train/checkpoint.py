@@ -34,7 +34,10 @@ CKPT_RE = r"checkpoint-epoch(\d+)\.msgpack$"
 
 
 def _atomic_write(path, data: bytes):
-  tmp = str(path) + "_"
+  # pid-unique tmp name: checkpoint writes are gated to process 0 of a
+  # multi-host run (trainer._save_checkpoint), but a stray concurrent
+  # writer (e.g. an operator-launched eval job) must corrupt nothing.
+  tmp = f"{path}._{os.getpid()}_tmp"
   with open(tmp, "wb") as f:
     f.write(data)
   os.rename(tmp, path)

@@ -107,6 +107,15 @@ class Trainer:
                expert_dims=None, num_keep_ckpts=1, tokenizer=None,
                warmup_iterations=-1, init_rng=None, use_mesh=True,
                device_metrics=True):
+    # Multi-process topology: every process runs the identical program in
+    # lockstep (loaders are deterministic, metrics are computed from
+    # replicated eval outputs everywhere so control flow like early
+    # stopping stays in sync); only process 0 touches the filesystem
+    # (checkpoints, TensorBoard, artifacts, perf log).
+    self.process_index = jax.process_index()
+    self.is_primary = self.process_index == 0
+    self.multiprocess = jax.process_count() > 1
+
     self.model = model
     self.loss_fn = loss_fn
     self.metrics = metrics                      # list of (name, fn)
@@ -115,7 +124,12 @@ class Trainer:
     self.config = config
     self.data_loaders = data_loaders
     self.lr_schedule = lr_schedule
-    self.visualizer = visualizer
+    # The fused-vs-matrix eval decision must be identical on every
+    # process (it changes the program all processes execute), so it keys
+    # off whether a visualizer was CONFIGURED; only the primary actually
+    # draws.
+    self._want_visualizer = visualizer is not None
+    self.visualizer = visualizer if self.is_primary else None
     self.skip_first_n_saves = skip_first_n_saves
     self.include_optim_in_ckpts = include_optim_in_ckpts
     self.num_keep_ckpts = num_keep_ckpts
@@ -288,14 +302,16 @@ class Trainer:
 
   # ------------------------------------------------------------------
   def _make_writer(self, log_dir):
+    class _Null:
+      def add_scalar(self, *a, **k): pass
+      def add_text(self, *a, **k): pass
+      def add_hparams(self, *a, **k): pass
+    if not self.is_primary:   # one TensorBoard stream per experiment
+      return _Null()
     try:
       from tensorboardX import SummaryWriter
       return SummaryWriter(str(log_dir))
     except Exception:  # pragma: no cover
-      class _Null:
-        def add_scalar(self, *a, **k): pass
-        def add_text(self, *a, **k): pass
-        def add_hparams(self, *a, **k): pass
       return _Null()
 
   def _first_loader(self):
@@ -354,7 +370,14 @@ class Trainer:
 
     if self.mesh is not None:
       shardings = mesh_lib.batch_sharding(self.mesh)
-      return jax.jit(embed_step, in_shardings=(None, None, shardings))
+      kwargs = {"in_shardings": (None, None, shardings)}
+      if self.multiprocess:
+        # Replicated eval outputs: every process then holds the FULL
+        # per-batch embeddings, so the host-side accumulation /
+        # similarity / metrics below are multi-process-safe (a
+        # batch-sharded output would not be addressable off-process).
+        kwargs["out_shardings"] = mesh_lib.replicated(self.mesh)
+      return jax.jit(embed_step, **kwargs)
     return jax.jit(embed_step)
 
   @property
@@ -369,10 +392,26 @@ class Trainer:
       self._embed_step_fn = self._build_embed_step()
     return self._embed_step_fn
 
+  def _ensure_global_state(self):
+    """Multi-process: promote host-side state to replicated global arrays.
+
+    Every jit argument must be a global jax.Array once the mesh spans
+    processes.  Called at the top of train()/evaluate() because the CLI
+    mutates trainer.params / opt_state after construction (pretrained
+    word embeddings, freeze-mask optimizer rebuild, train.py).
+    Idempotent; no-op single-process.
+    """
+    if self.mesh is None or not self.multiprocess:
+      return
+    self.params = mesh_lib.replicate_tree(self.mesh, self.params)
+    self.batch_stats = mesh_lib.replicate_tree(self.mesh, self.batch_stats)
+    self.opt_state = mesh_lib.replicate_tree(self.mesh, self.opt_state)
+
   # ------------------------------------------------------------------
   # Train loop
   # ------------------------------------------------------------------
   def train(self):
+    self._ensure_global_state()
     not_improved_count = 0
     for epoch in range(self.start_epoch, self.epochs + 1):
       self.epoch = epoch
@@ -439,7 +478,7 @@ class Trainer:
                       self.skip_first_n_saves)
         elif epoch % self.save_period == 0 or save_best:
           self._save_checkpoint(epoch, save_best=best)
-        if epoch > self.num_keep_ckpts:
+        if epoch > self.num_keep_ckpts and self.is_primary:
           ckpt_lib.purge_stale_checkpoints(self.exp_dir, self.num_keep_ckpts)
       # SIGTERM between epochs (e.g. during the continuous eval above):
       # this epoch IS complete, checkpoint it as such and exit.
@@ -472,8 +511,9 @@ class Trainer:
           continue
         (logger.debug if "timer." in name else logger.info)(
             " %-30s: %s", name, value)
-      update_perf_log({k: v for k, v in log.items()
-                       if not k.endswith("cols")}, self.perf_log_path)
+      if self.is_primary:
+        update_perf_log({k: v for k, v in log.items()
+                         if not k.endswith("cols")}, self.perf_log_path)
 
   def _select_train_set(self, epoch):
     """Curriculum: first train set whose until_epoch >= epoch
@@ -528,6 +568,10 @@ class Trainer:
 
       step_start = time.time()
       self.rng, step_rng = jax.random.split(self.rng)
+      if self.multiprocess:
+        # The split above runs on the local default device; the step's
+        # arguments must be global arrays under a multi-process mesh.
+        step_rng = mesh_lib.replicate_tree(self.mesh, step_rng)
       self.params, self.batch_stats, self.opt_state, loss = self.train_step(
           self.params, self.batch_stats, self.opt_state, batch, lr, step_rng)
       self._maybe_preempt_exit(epoch - 1)
@@ -573,6 +617,8 @@ class Trainer:
       self.timer.update("valid_batch.data_loading", time.time() - data_start)
       step_start = time.time()
       padded, n = pad_batch_to_multiple(model_batch(batch), mesh_n)
+      if self.multiprocess:
+        padded = mesh_lib.shard_batch(self.mesh, padded)
       out = self.embed_step(self.params, self.batch_stats, padded)
       vid_embds.append(out["vid_embds"][:n])
       text_embds.append(out["text_embds"][:n])
@@ -615,8 +661,10 @@ class Trainer:
                    and self.fused_eval_from_videos
                    and n_videos >= self.fused_eval_from_videos
                    and metric_names <= {"t2v_metrics", "v2t_metrics"}
-                   # the visualizer reads the sims matrix
-                   and self.visualizer is None)
+                   # the visualizer reads the sims matrix (keyed on the
+                   # configured flag, not the per-process instance, so
+                   # all processes pick the same program)
+                   and not self._want_visualizer)
       sims = None
       if not use_fused:
         with self.timer.time("valid.conf_mat"):
@@ -637,7 +685,7 @@ class Trainer:
       else:
         ds_base, cut_name, split_name = dataset_name, "", "eval"
 
-      if sets == "final_eval":
+      if sets == "final_eval" and self.is_primary:
         if cut_name == "c" and split_name in ("test1", "test2"):
           public = ("public_server_val" if split_name == "test1"
                     else "public_server_test")
@@ -702,12 +750,16 @@ class Trainer:
   def evaluate(self):
     """Final eval: load best ckpt, run final_eval sets, write artifacts
     (base/base_trainer.py:244-297)."""
+    # Process 0 may still be flushing the last checkpoint; everyone must
+    # see the same file (or the same absence) before loading.
+    mesh_lib.barrier("pre_final_eval")
     best = self.exp_dir / "trained_model.msgpack"
     if best.exists():
       self._resume_checkpoint(best)
     else:
       logger.info("No best checkpoint at %s; evaluating current weights",
                   best)
+    self._ensure_global_state()
     final = self._valid_epoch(epoch=self.epoch, sets="final_eval")
 
     log = {}
@@ -722,22 +774,26 @@ class Trainer:
         if "/cols" not in name:
           logger.info(" %-40s: %s", name, value)
 
-    results_path = self.exp_dir / "exp_results.json"
-    res = {}
-    if results_path.exists():
-      with open(results_path) as f:
-        res = json.load(f)
-    res["perfs"] = {ds: {k: v for k, v in d.items() if "/cols" not in k}
-                    for ds, d in log.items()}
-    res["checkpoint_epoch"] = self.loaded_epoch
-    with open(results_path, "w") as f:
-      # MeanR/MedR can legitimately be inf (a video whose captions are
-      # all masked ranks at infinity, ops/ranking.py) — python's json
-      # would emit non-RFC `Infinity`, which external parsers reject.
-      json.dump(_json_sanitize(res), f, indent=4)
+    if self.is_primary:
+      results_path = self.exp_dir / "exp_results.json"
+      res = {}
+      if results_path.exists():
+        with open(results_path) as f:
+          res = json.load(f)
+      res["perfs"] = {ds: {k: v for k, v in d.items() if "/cols" not in k}
+                      for ds, d in log.items()}
+      res["checkpoint_epoch"] = self.loaded_epoch
+      with open(results_path, "w") as f:
+        # MeanR/MedR can legitimately be inf (a video whose captions are
+        # all masked ranks at infinity, ops/ranking.py) — python's json
+        # would emit non-RFC `Infinity`, which external parsers reject.
+        json.dump(_json_sanitize(res), f, indent=4)
 
-    flag = self.exp_dir / "exp_completed_flag.txt"
-    flag.touch()
+      flag = self.exp_dir / "exp_completed_flag.txt"
+      flag.touch()
+    # All processes observe the finished artifacts before returning
+    # (callers may read exp_results.json right after evaluate()).
+    mesh_lib.barrier("post_final_eval")
     return final
 
   # ------------------------------------------------------------------
@@ -762,6 +818,11 @@ class Trainer:
     return state
 
   def _save_checkpoint(self, epoch, save_best=False):
+    # One writer per experiment: a shared-FS save from every process
+    # would race on the tmp file and multiply IO for identical bytes
+    # (state is replicated).  Readers sync via mesh_lib.barrier().
+    if not self.is_primary:
+      return
     ckpt_lib.save_checkpoint(self.exp_dir, self._state_dict(), epoch,
                              save_best=save_best)
 
@@ -816,5 +877,6 @@ class Trainer:
       self.start_epoch = 0
       self.n_samples = 0
       self.n_steps = 0
-      ckpt_lib.write_info(self.exp_dir, resume_path, self.loaded_epoch)
+      if self.is_primary:
+        ckpt_lib.write_info(self.exp_dir, resume_path, self.loaded_epoch)
     logger.info("Ckpt loaded at epoch %s", raw.get("epoch", "?"))

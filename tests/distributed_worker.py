@@ -18,6 +18,56 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def main_full_train():
+  """Full-system mode (MMT_TPU_WORKER_MODE=full_train): run the REAL CLI
+  trainer — Trainer.train() + evaluate(), checkpoints, artifacts — over
+  the multi-process mesh on a pre-generated synthetic corpus, then print
+  a params fingerprint + the final-eval metrics for cross-run comparison.
+
+  This is the test surface for multi-host as a system (not a step):
+  process-0-gated writes, replicated eval outputs, lockstep loaders,
+  checkpoint barrier (trainer.py, mesh.py).
+  """
+  import jax
+  jax.config.update("jax_platforms", "cpu")
+
+  import json
+  import pathlib
+
+  import numpy as np
+
+  sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+      os.path.abspath(__file__))), "tests"))
+  from test_train_e2e import make_config
+  import train as train_cli
+
+  root = pathlib.Path(os.environ["MMT_TPU_WORKER_ROOT"])
+  data_dir = pathlib.Path(os.environ["MMT_TPU_WORKER_DATA"])
+  exp_root = pathlib.Path(os.environ["MMT_TPU_WORKER_EXP"])
+  os.environ["MMT_TPU_BERT_VOCAB"] = str(root / "vocab.txt")
+
+  cfg = make_config(root, data_dir, exp_root)
+  cfg["train_sets"][0]["args"]["batch_size"] = 8  # divides the 8-dev mesh
+  cfg["trainer"].update({"epochs": 2, "max_samples_per_epoch": 16,
+                         "save_dir": str(exp_root)})
+  tag = os.environ.get("MMT_TPU_PROCESS_ID", "single")
+  cfg_path = root / f"cfg_full_{tag}.json"
+  cfg_path.write_text(json.dumps(cfg))
+
+  trainer = train_cli.main(["--config", str(cfg_path)])
+
+  leaf = np.asarray(trainer.params["moe_fc_txt_rgb"]["kernel"])
+  fingerprint = float(np.abs(leaf).sum())
+  results_path = exp_root / "exp_results.json"
+  perfs = {}
+  if results_path.exists():   # written by process 0 only
+    perfs = json.loads(results_path.read_text()).get("perfs", {})
+  print("RESULTFULL fingerprint=%.10f n_devices=%d perfs=%s"
+        % (fingerprint, len(jax.devices()), json.dumps(perfs,
+                                                       sort_keys=True)),
+        flush=True)
+
+
 def main():
   import jax
   jax.config.update("jax_platforms", "cpu")
@@ -86,4 +136,7 @@ def main():
 
 
 if __name__ == "__main__":
-  main()
+  if os.environ.get("MMT_TPU_WORKER_MODE") == "full_train":
+    main_full_train()
+  else:
+    main()

@@ -150,3 +150,59 @@ def test_train_step_gradients_flow(tiny_arch):
   assert all(np.all(np.isfinite(l)) for l in leaves)
   total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
   assert total > 0
+
+
+def test_batched_heads_match_per_modality_loop(tiny_arch, monkeypatch):
+  """The batched per-modality heads (stacked-weight einsums,
+  components.py:batched_*) must equal the per-modality loop over the
+  SAME parameter holders — outputs, train-mode batch_stats updates, and
+  gradients.  MMT_TPU_BATCHED_HEADS toggles the routing (read in
+  CENet.setup, i.e. per apply)."""
+  batch = make_batch(tiny_arch["expert_dims"], b=6)
+  model = CENet(**{**tiny_arch, "vid_wgh": "emb", "txt_wgh": "emb"})
+  variables = model.init(
+      {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+      batch, train=False)
+
+  def run(train):
+    if train:
+      out, mut = model.apply(variables, batch, train=True,
+                             rngs={"dropout": jax.random.PRNGKey(2)},
+                             mutable=["batch_stats"])
+      return out, mut["batch_stats"]
+    return model.apply(variables, batch, train=False), None
+
+  def grads():
+    def loss(params):
+      out = model.apply({**variables, "params": params}, batch, train=False)
+      return jnp.sum(similarity_from_outputs(out, merge="avg") ** 2)
+    return jax.grad(loss)(variables["params"])
+
+  monkeypatch.setenv("MMT_TPU_BATCHED_HEADS", "1")
+  eval_b, _ = run(False), None
+  train_b, bs_b = run(True)
+  g_b = grads()
+  monkeypatch.setenv("MMT_TPU_BATCHED_HEADS", "0")
+  eval_l, _ = run(False), None
+  train_l, bs_l = run(True)
+  g_l = grads()
+
+  for key in ("text_embds", "text_weights", "vid_embds", "vid_weights"):
+    np.testing.assert_allclose(np.asarray(eval_b[0][key]),
+                               np.asarray(eval_l[0][key]),
+                               rtol=1e-5, atol=1e-6, err_msg=f"eval {key}")
+    np.testing.assert_allclose(np.asarray(train_b[key]),
+                               np.asarray(train_l[key]),
+                               rtol=1e-5, atol=1e-6, err_msg=f"train {key}")
+  def flat(tree):
+    pairs = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return sorted((jax.tree_util.keystr(p), v) for p, v in pairs)
+
+  for (pa, a), (pb, b) in zip(flat(bs_b), flat(bs_l)):
+    assert pa == pb
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6, err_msg=pa)
+  for (pa, a), (pb, b) in zip(flat(g_b), flat(g_l)):
+    assert pa == pb
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-6, err_msg=pa)

@@ -168,6 +168,121 @@ def test_two_process_distributed_matches_single_process(tmp_path):
   np.testing.assert_allclose(fp0, fp_s, rtol=1e-6)
 
 
+def test_two_process_full_trainer_matches_single_process(tmp_path):
+  """Multi-host as a SYSTEM: two processes run the full CLI trainer
+  (Trainer.train() 2 epochs + evaluate(), checkpoints, artifacts) over
+  the global 8-device mesh and must produce the same trained params,
+  the same final-eval metrics, and exactly one set of artifacts (gated
+  on process 0) as the identical single-process run."""
+  import json
+  import os
+  import re
+  import socket
+  import subprocess
+  import sys
+
+  from mmt_tpu.data import synthetic
+  from mmt_tpu.train import checkpoint as ckpt_lib
+
+  worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+  repo = os.path.dirname(os.path.dirname(os.path.abspath(worker)))
+
+  root = tmp_path / "corpus"
+  root.mkdir()
+  data_dir = synthetic.generate(root, num_videos=14, num_test=6,
+                                experts={"rgb": 2048, "s3d": 1024},
+                                captions_per_video=3)
+
+  with socket.socket() as s:
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+
+  def env_for(n_local, exp_dir, proc_id=None, n_procs=None):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    flags.append(f"--xla_force_host_platform_device_count={n_local}")
+    env["XLA_FLAGS"] = " ".join(flags)
+    env["MMT_TPU_WORKER_MODE"] = "full_train"
+    env["MMT_TPU_WORKER_ROOT"] = str(root)
+    env["MMT_TPU_WORKER_DATA"] = str(data_dir)
+    env["MMT_TPU_WORKER_EXP"] = str(exp_dir)
+    if proc_id is not None:
+      env["MMT_TPU_COORDINATOR"] = f"localhost:{port}"
+      env["MMT_TPU_NUM_PROCESSES"] = str(n_procs)
+      env["MMT_TPU_PROCESS_ID"] = str(proc_id)
+    else:
+      env.pop("MMT_TPU_COORDINATOR", None)
+    return env
+
+  def parse(out):
+    m = re.search(r"RESULTFULL fingerprint=([\d.]+) n_devices=(\d+) "
+                  r"perfs=(\{.*\})", out)
+    assert m, f"worker produced no RESULTFULL line:\n{out[-3000:]}"
+    return float(m.group(1)), int(m.group(2)), json.loads(m.group(3))
+
+  exp2 = tmp_path / "exp_2proc"
+  procs = [subprocess.Popen([sys.executable, worker],
+                            env=env_for(4, exp2, i, 2), cwd=repo,
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+           for i in range(2)]
+  outs = [p.communicate(timeout=1800)[0] for p in procs]
+  for p, out in zip(procs, outs):
+    assert p.returncode == 0, f"worker rc={p.returncode}:\n{out[-4000:]}"
+
+  exp1 = tmp_path / "exp_single"
+  single = subprocess.run([sys.executable, worker],
+                          env=env_for(8, exp1), cwd=repo,
+                          stdout=subprocess.PIPE,
+                          stderr=subprocess.STDOUT, text=True, timeout=1800)
+  assert single.returncode == 0, single.stdout[-4000:]
+
+  fp0, n0, perfs0 = parse(outs[0])
+  fp1, n1, perfs1 = parse(outs[1])
+  fp_s, n_s, perfs_s = parse(single.stdout)
+  assert n0 == n1 == n_s == 8
+  # Processes agree with each other (lockstep), and with single-process.
+  np.testing.assert_allclose(fp0, fp1, rtol=1e-8)
+  np.testing.assert_allclose(fp0, fp_s, rtol=1e-5)
+  assert perfs0 == perfs1, "both processes must read the same results"
+
+  def flat(perfs):
+    return {f"{ds}/{k}": v for ds, d in perfs.items() for k, v in d.items()}
+
+  f2, f1 = flat(perfs0), flat(perfs_s)
+  assert set(f2) == set(f1) and f2, "metric key sets differ (or empty)"
+  for key in f1:
+    np.testing.assert_allclose(f2[key], f1[key], rtol=1e-4, atol=1e-6,
+                               err_msg=key)
+
+  # Written state matches across topologies.
+  s2 = ckpt_lib.load_checkpoint_raw(exp2 / "trained_model.msgpack")
+  s1 = ckpt_lib.load_checkpoint_raw(exp1 / "trained_model.msgpack")
+  leaves2 = jax.tree_util.tree_leaves(s2["params"])
+  leaves1 = jax.tree_util.tree_leaves(s1["params"])
+  assert len(leaves2) == len(leaves1)
+  # atol=1e-3 covers the degenerate-gradient leaves: a Dense bias feeding
+  # BatchNorm and the attention key bias have mathematically ZERO
+  # gradient (BN mean-subtraction / softmax shift invariance), so Adam
+  # normalizes their numerical-noise gradients into ±lr-scale random
+  # walks — and the noise differs between gloo and intra-process
+  # collectives.  Real parameters (|w| >= 1e-2) are still held to rtol.
+  for a, b in zip(leaves2, leaves1):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-4, atol=1e-3)
+
+  # Single-writer invariant: artifacts exist once, from process 0.
+  for fname in ("exp_results.json", "exp_completed_flag.txt",
+                "trained_model.msgpack", "MSRVTT-test-sims.npy",
+                "perf_log.txt", "config.json"):
+    assert (exp2 / fname).exists(), fname
+  # Secondary process logged to its own file, not process 0's log.
+  assert (exp2 / "log.p1.txt").exists()
+
+
 def test_trainer_runs_pallas_kernels_under_mesh(tiny_train_setup=None):
   """A Trainer with an active >1-device mesh keeps BOTH Pallas kernel
   families enabled: the FFN kernels and the similarity kernel all carry
@@ -268,6 +383,50 @@ def test_similarity_kernel_partitions_both_ways():
                                  rtol=1e-4, atol=1e-5)
   finally:
     similarity.use_pallas(False)
+
+
+def test_sharded_batchnorm_stats_match_single_device(tiny_arch):
+  """txt_pro='gbn' mutates BatchNorm batch_stats inside the train step;
+  under the 8-way data mesh the statistics must be GLOBAL-batch moments
+  (matching the reference's single-process BatchNorm1d,
+  model/model.py:743) — GSPMD turns the batch-axis mean/var reductions
+  into cross-device psums, so the updated running stats must equal the
+  unsharded step's bit-for-bit up to collective reduction order."""
+  model = CENet(**tiny_arch)
+  assert model.txt_pro == "gbn", "test requires the BatchNorm-active path"
+  batch = make_batch(tiny_arch["expert_dims"], b=16)
+  variables = model.init(
+      {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+      batch, train=False)
+  params, bstats = variables["params"], variables["batch_stats"]
+  assert jax.tree_util.tree_leaves(bstats), "expected live batch stats"
+
+  def step(params, bstats, batch):
+    out, mut = model.apply(
+        {"params": params, "batch_stats": bstats}, batch, train=True,
+        rngs={"dropout": jax.random.PRNGKey(7)}, mutable=["batch_stats"])
+    sims = similarity_from_outputs(out, merge="avg")
+    return jnp.sum(sims), mut["batch_stats"]
+
+  loss1, bs1 = jax.jit(step)(params, bstats, batch)
+
+  mesh = mesh_lib.data_mesh()
+  shard = NamedSharding(mesh, P("data"))
+  sharded = jax.tree_util.tree_map(lambda x: jax.device_put(x, shard), batch)
+  loss8, bs8 = jax.jit(step, in_shardings=(None, None, shard))(
+      params, bstats, sharded)
+
+  np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-5)
+  flat1, tree1 = jax.tree_util.tree_flatten(bs1)
+  flat8, tree8 = jax.tree_util.tree_flatten(bs8)
+  flat0, _ = jax.tree_util.tree_flatten(bstats)
+  assert tree1 == tree8
+  moved = 0.0
+  for a, b, init in zip(flat1, flat8, flat0):
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-5, atol=1e-6)
+    moved += float(jnp.sum(jnp.abs(a - init)))
+  assert moved > 0, "batch stats must actually update in a train step"
 
 
 def test_ffn_kernel_partitions_on_rows():

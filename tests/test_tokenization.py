@@ -1,5 +1,7 @@
 """WordPiece tokenizer parity vs the HuggingFace implementation."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -106,17 +108,17 @@ def test_large_vocab_scale(big_ours):
   assert len(big_ours.vocab) > 12000
 
 
-def test_fuzzed_sentences_match_hf(big_ours, big_theirs):
-  """300 fuzzed sentences built from vocab words + adversarial noise:
+def _fuzz_vs_hf(ours, theirs, n_sentences=300):
+  """Fuzzed sentences built from vocab words + adversarial noise:
   tokens AND ids must match HF exactly."""
   rng = np.random.RandomState(0)
-  words = [w for w in big_ours.vocab
+  words = [w for w in ours.vocab
            if not w.startswith(("##", "[")) and len(w) > 1]
   noise = ["don't", "state-of-the-art", "...", "é!ü", "中文字符",
            "привет", "αλφα", "x" * 120, "CAFÉ", "über-cool",
            "a.b,c;d", "\t tabs \t", "eé́combining",
            "[CLS]", "1234", "12.5%", "''quoted''"]
-  for _ in range(300):
+  for _ in range(n_sentences):
     n = rng.randint(1, 12)
     parts = [words[rng.randint(len(words))] for _ in range(n)]
     # random corruption: casing, concat with suffix pieces, noise splice
@@ -132,12 +134,45 @@ def test_fuzzed_sentences_match_hf(big_ours, big_theirs):
       parts.insert(rng.randint(len(parts) + 1),
                    noise[rng.randint(len(noise))])
     text = " ".join(parts)
-    ours_toks = big_ours.tokenize(text)
-    theirs_toks = big_theirs.tokenize(text)
+    ours_toks = ours.tokenize(text)
+    theirs_toks = theirs.tokenize(text)
     assert ours_toks == theirs_toks, f"tokens diverge on: {text!r}"
-    assert (big_ours.convert_tokens_to_ids(ours_toks)
-            == big_theirs.convert_tokens_to_ids(theirs_toks)), (
+    assert (ours.convert_tokens_to_ids(ours_toks)
+            == theirs.convert_tokens_to_ids(theirs_toks)), (
                 f"ids diverge on: {text!r}")
+
+
+def test_fuzzed_sentences_match_hf(big_ours, big_theirs):
+  _fuzz_vs_hf(big_ours, big_theirs)
+
+
+def _real_vocab_path():
+  import pathlib
+  cand = (os.environ.get("MMT_TPU_BERT_VOCAB")
+          or pathlib.Path(__file__).parent.parent
+          / "data" / "bert-base-cased-vocab.txt")
+  cand = pathlib.Path(cand)
+  if not cand.is_file():
+    return None
+  with open(cand, encoding="utf-8") as f:
+    n = sum(1 for _ in f)
+  return cand if n == 28996 else None
+
+
+@pytest.mark.skipif(_real_vocab_path() is None,
+                    reason="real bert-base-cased vocab not present "
+                           "(install via scripts/parity_run.py --check)")
+def test_real_bert_base_cased_vocab_matches_hf():
+  """When the REAL 28,996-entry bert-base-cased vocab is installed
+  (scripts/parity_run.py / docs/PARITY.md), the fuzz parity suite runs
+  against it — cased, as the reference uses it
+  (utils/nlp_utils.py:19-42)."""
+  transformers = pytest.importorskip("transformers")
+  path = _real_vocab_path()
+  ours = tokenization.WordPieceTokenizer(path, do_lower_case=False)
+  theirs = transformers.BertTokenizer(str(path), do_lower_case=False)
+  assert ours.vocab_size == 28996
+  _fuzz_vs_hf(ours, theirs)
 
 
 @pytest.mark.parametrize("text", [

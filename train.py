@@ -77,7 +77,7 @@ def train(config):
   import jax
 
   from mmt_tpu.parallel.mesh import maybe_initialize_distributed
-  maybe_initialize_distributed()
+  maybe_initialize_distributed()   # idempotent (main() already ran it)
 
   from mmt_tpu.ops import enable_tpu_default_kernels
   enable_tpu_default_kernels()
@@ -186,17 +186,27 @@ def main(argv=None):
   parser.add_argument("-v", "--verbose", action="store_true")
   args = parser.parse_args(argv)
 
+  # Multi-process runs must initialize the distributed runtime before
+  # ANY backend use — and process identity gates the filesystem writes
+  # below (config dump, log file), so it has to be known up front.
+  from mmt_tpu.parallel.mesh import maybe_initialize_distributed
+  maybe_initialize_distributed()
+  import jax
+  process_index = jax.process_index()
+
   from mmt_tpu import config as config_lib
-  config = config_lib.from_args(args)
+  config = config_lib.from_args(args, primary=process_index == 0)
 
   level = logging.DEBUG if args.verbose else logging.INFO
   # force=True so a second experiment in the same process re-points the
   # log file at its own exp dir (parse_config.py:103-117 behavior).
+  # Secondary processes get their own log file (log.txt is process 0's).
+  log_name = "log.txt" if process_index == 0 else f"log.p{process_index}.txt"
   logging.basicConfig(
       level=os.environ.get("LOGLEVEL", level),
       format="%(message)s",
       force=True,
-      handlers=[logging.FileHandler(config.save_dir / "log.txt"),
+      handlers=[logging.FileHandler(config.save_dir / log_name),
                 logging.StreamHandler()])
   logger.info("Experiment directory: %s", config.save_dir)
 
