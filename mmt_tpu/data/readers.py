@@ -57,7 +57,8 @@ class VideoRecord:
   """One video's captions + per-expert features, in memory."""
 
   __slots__ = ("captions", "captions_t", "features", "features_t",
-               "features_avgpool", "features_maxpool", "pooled_full")
+               "features_avgpool", "features_maxpool", "pooled_full",
+               "feat_blocks")
 
   def __init__(self, captions, captions_t, features, features_t,
                features_avgpool=None, features_maxpool=None):
@@ -71,6 +72,11 @@ class VideoRecord:
     # with clip_duration=inf (every published config) the pooled values
     # are per-record constants, so samples shouldn't recompute them.
     self.pooled_full = {}
+    # Memo for the padded temporal block (expert, max_tokens, window) ->
+    # (feats, t, ind): a per-record constant whenever the token pick is
+    # the identity or the deterministic eval pick (sample.py gates the
+    # cases where the train RNG draws).
+    self.feat_blocks = {}
 
   def _arrays(self):
     for group in (self.captions, self.captions_t, self.features.values(),

@@ -31,6 +31,25 @@ def crop_or_pad_tokens(token_ids: Sequence[int], max_text_words: int):
   return out
 
 
+@functools.lru_cache(maxsize=64)
+def _missing_block(max_tokens: int, dim: int):
+  """Constant (features, t, ind) block for a missing modality
+  (read-only: samples alias it instead of re-zeroing per epoch)."""
+  z = np.zeros((max_tokens, dim), np.float32)
+  zt = np.ones((max_tokens,), np.float32)
+  zi = np.zeros((max_tokens,), np.float32)
+  for arr in (z, zt, zi):
+    arr.flags.writeable = False
+  return z, zt, zi
+
+
+@functools.lru_cache(maxsize=64)
+def _zero_row(dim: int) -> np.ndarray:
+  row = np.zeros((1, dim), np.float32)
+  row.flags.writeable = False
+  return row
+
+
 @functools.lru_cache(maxsize=4096)
 def _eval_pick(n: int, keep: int) -> np.ndarray:
   """Deterministic eval subsample (base/base_dataset.py:71-115 uses a
@@ -48,26 +67,33 @@ def choose_or_pad_features(features, features_t, max_tokens, training,
   are sorted to preserve temporal order; padding rows get t=1, ind=0.
   """
   feature_dim = features.shape[-1]
-  out = np.zeros((max_tokens, feature_dim))
-  out_t = np.ones((max_tokens,))
-  out_ind = np.zeros((max_tokens,))
+  # float32 end to end: collate emits float32 anyway, and float64
+  # intermediates doubled the assembly bandwidth (the loader hot path,
+  # docs/DATA.md).  Values are identical — the first float32 rounding
+  # just moves from collate to here.
+  out = np.zeros((max_tokens, feature_dim), dtype=np.float32)
+  out_t = np.ones((max_tokens,), dtype=np.float32)
+  out_ind = np.zeros((max_tokens,), dtype=np.float32)
   keep = min(len(features), max_tokens)
   if keep == len(features):
     # Choosing all elements without replacement then sorting is the
-    # identity — skip the RNG work (the common fixed-seg case).
-    pick = np.arange(keep)
+    # identity — skip the RNG work AND the fancy-index copy (the common
+    # fixed-seg case).
+    sel, sel_t = features[:keep], features_t[:keep]
   elif training:
     picker = rng if rng is not None else np.random
     pick = np.sort(picker.choice(len(features), size=keep, replace=False))
+    sel, sel_t = features[pick], features_t[pick]
   else:
     pick = np.sort(_eval_pick(len(features), keep))
-  out[:keep] = features[pick]
+    sel, sel_t = features[pick], features_t[pick]
+  out[:keep] = sel
   if shuffle and training:
-    shuffled = features_t[pick].copy()
+    shuffled = np.asarray(sel_t, dtype=np.float64).copy()
     np.random.RandomState(seed).shuffle(shuffled)
     out_t[:keep] = shuffled
   else:
-    out_t[:keep] = features_t[pick]
+    out_t[:keep] = sel_t
   out_ind[:keep] = 1
   return out, out_t, out_ind
 
@@ -285,11 +311,11 @@ def make_sample(record, tokenizer, experts: Dict[str, int],
                        / opts.temporal_encoding_window + 2)
 
       if f_sel is None:
-        feats[expert].append(np.zeros((opts.max_expert_tokens, raw_dim)))
-        feats_t[expert].append(np.ones((opts.max_expert_tokens,)))
-        feats_ind[expert].append(np.zeros((opts.max_expert_tokens,)))
-        avg = np.zeros((1, raw_dim))
-        mx = np.zeros((1, raw_dim))
+        z, zt, zi = _missing_block(opts.max_expert_tokens, raw_dim)
+        feats[expert].append(z)
+        feats_t[expert].append(zt)
+        feats_ind[expert].append(zi)
+        avg = mx = _zero_row(raw_dim)
       else:
         # Parity with base/base_dataset.py:809-810: the on-disk feature
         # width must match the registry dim for this expert.
@@ -310,9 +336,28 @@ def make_sample(record, tokenizer, experts: Dict[str, int],
         else:
           avg = np.mean(f_sel, axis=0, keepdims=True)
           mx = np.max(f_sel, axis=0, keepdims=True)
-        sub, sub_t, sub_ind = choose_or_pad_features(
-            f_sel, f_t_sel, opts.max_expert_tokens, training,
-            shuffle=opts.shuffle_feats_t, seed=idx)
+        # The padded temporal block is a per-record constant whenever no
+        # train-RNG draw happens (full clip + identity pick, or the
+        # deterministic eval pick) — memoized on the cached record, like
+        # pooled_full above.  When the train pick IS random
+        # (len > max_tokens), the global-RNG draw must happen every
+        # epoch, so those samples bypass the memo.
+        cacheable = (clip_length == float("inf")
+                     and not (opts.shuffle_feats_t and training)
+                     and (len(f_sel) <= opts.max_expert_tokens
+                          or not training))
+        cache_key = (expert, opts.max_expert_tokens,
+                     opts.temporal_encoding_window, training)
+        block = record.feat_blocks.get(cache_key) if cacheable else None
+        if block is None:
+          block = choose_or_pad_features(
+              f_sel, f_t_sel, opts.max_expert_tokens, training,
+              shuffle=opts.shuffle_feats_t, seed=idx)
+          if cacheable:
+            for arr in block:
+              arr.flags.writeable = False   # samples alias these (cache!)
+            record.feat_blocks[cache_key] = block
+        sub, sub_t, sub_ind = block
         feats[expert].append(sub)
         feats_t[expert].append(sub_t)
         feats_ind[expert].append(sub_ind)
@@ -352,11 +397,14 @@ def collate(samples, experts) -> Dict:
   text = {}
   for key in samples[0]["text_tensors"]:
     text[key] = np.concatenate(
-        [s["text_tensors"][key] for s in samples], 0).astype(np.int32)
+        [s["text_tensors"][key] for s in samples], 0).astype(
+            np.int32, copy=False)
   vid = {}
   for key in samples[0]["vid_tensors"]:
+    # dtype= makes the concat write float32 directly (single pass) —
+    # .astype after a float64 concat did the copy twice.
     vid[key] = {e: np.concatenate(
-        [s["vid_tensors"][key][e] for s in samples], 0).astype(np.float32)
+        [s["vid_tensors"][key][e] for s in samples], 0, dtype=np.float32)
         for e in experts}
   lists = {}
   for key in samples[0]["lists"]:

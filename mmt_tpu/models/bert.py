@@ -80,30 +80,42 @@ class TransformerLayer(nn.Module):
   @nn.compact
   def __call__(self, hidden, attn_bias, *, deterministic: bool):
     cfg = self.cfg
-    dense = lambda feats, name: nn.Dense(
-        feats, dtype=self.dtype, name=name,
-        kernel_init=nn.initializers.normal(cfg.initializer_range))
     # LayerNorm statistics in fp32 regardless of compute dtype (measured
     # to cost nothing on TPU vs bf16 statistics, and numerically safer).
     ln = lambda name: nn.LayerNorm(epsilon=cfg.layer_norm_eps, name=name,
                                    dtype=jnp.float32)
 
-    # Self-attention.
+    # Self-attention.  The q/k/v projections emit the head-split
+    # [B, H, S, dh] layout DIRECTLY from the matmul (kernel viewed as
+    # [D, H, dh]) and the output projection consumes it ([H, dh, D]) —
+    # the separate head split/merge reshapes cost ~17% of eval device
+    # time as physical layout copies (docs/PERF.md round-3 profile).
+    # Params stay in nn.Dense's tree via the _Proj holders.
     init = nn.initializers.normal(cfg.initializer_range)
     h = cfg.hidden_size
-    q = dense(h, "query")(hidden)
-    k = dense(h, "key")(hidden)
-    v = dense(h, "value")(hidden)
-    ctx = attention_ops.multi_head_attention(
-        q, k, v,
-        num_heads=cfg.num_attention_heads,
+    n_heads = cfg.num_attention_heads
+    dh = h // n_heads
+    dt = self.dtype
+
+    def project_heads(name):
+      kernel, bias = _Proj(h, h, init, name=name)()
+      out = jnp.einsum("bsd,dhe->bhse", hidden.astype(dt),
+                       kernel.reshape(h, n_heads, dh).astype(dt))
+      return out + bias.reshape(n_heads, dh).astype(dt)[None, :, None, :]
+
+    ctx = attention_ops.attention_bhsd(
+        project_heads("query"), project_heads("key"),
+        project_heads("value"),
         attn_bias=attn_bias,
         dropout_rate=cfg.attention_probs_dropout_prob,
         deterministic=deterministic,
         dropout_rng_fn=(None if deterministic else
                         (lambda: self.make_rng("dropout"))),
     )
-    attn_out = dense(cfg.hidden_size, "attn_out")(ctx)
+    wo, bo = _Proj(h, h, init, name="attn_out")()
+    attn_out = (jnp.einsum("bhsd,hde->bse", ctx.astype(dt),
+                           wo.reshape(n_heads, dh, h).astype(dt))
+                + bo.astype(dt))
     attn_out = nn.Dropout(cfg.hidden_dropout_prob)(
         attn_out, deterministic=deterministic)
     hidden = ln("attn_ln")(attn_out + hidden)

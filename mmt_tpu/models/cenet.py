@@ -253,6 +253,9 @@ class CENet(nn.Module):
     # All per-modality text heads batched over the modality axis
     # (components.py batched_* — the params stay per-modality holders).
     gu_parts = [self.text_gu[mod]() for mod in mods]
+    # Heads run fp32 regardless of compute_dtype: a bf16 A/B measured
+    # neutral (0.1578 vs 0.1563 s — the head einsums are bandwidth-
+    # bound, docs/PERF.md), so fp32 is free numerics safety.
     if self.txt_pro in ("gbn", "gem"):
       geu = lambda parts: C.batched_gated_embedding(
           text, parts, use_bn=self.txt_pro == "gbn", train=train,

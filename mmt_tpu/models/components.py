@@ -331,13 +331,17 @@ def _batched_torch_bn(x, stacks, *, train: bool,
 
 
 def batched_gated_embedding(x, geu_params, *, use_bn: bool, train: bool,
-                            normalize: bool = True):
+                            normalize: bool = True, dtype=None):
   """All modalities' GatedEmbeddingUnits in two batched einsums.
 
   x: [B, D_in] shared input (the caption embedding feeds every per-
   modality GEU, model/model.py:413-418); geu_params: list over
   modalities of GEUParams() outputs.  Returns [B, M, D_out].
+  ``dtype`` is the matmul compute dtype (the model's compute_dtype —
+  bf16 on the MXU when the caller opted in; accumulation and the
+  BN/sigmoid/normalize epilogue stay fp32).
   """
+  dt = dtype or x.dtype
   fc, cg = zip(*geu_params)
   w1 = jnp.stack([k for k, _ in fc])              # [M, D_in, D_out]
   b1 = jnp.stack([b for _, b in fc])              # [M, D_out]
@@ -345,8 +349,10 @@ def batched_gated_embedding(x, geu_params, *, use_bn: bool, train: bool,
   wc = jnp.stack([k for k, _ in cg_fc])           # [M, D_out, D_out]
   bc = jnp.stack([b for _, b in cg_fc])
 
-  h = jnp.einsum("bd,mde->bme", x, w1) + b1[None]          # [B, M, D]
-  g = jnp.einsum("bme,mef->bmf", h, wc) + bc[None]
+  h = jnp.einsum("bd,mde->bme", x.astype(dt), w1.astype(dt),
+                 preferred_element_type=jnp.float32) + b1[None]  # [B, M, D]
+  g = jnp.einsum("bme,mef->bmf", h.astype(dt), wc.astype(dt),
+                 preferred_element_type=jnp.float32) + bc[None]
   if use_bn:
     stacks = tuple(zip(*cg_bn))                   # (scales, biases, ms, vs)
     g = _batched_torch_bn(g, stacks, train=train)
@@ -356,33 +362,40 @@ def batched_gated_embedding(x, geu_params, *, use_bn: bool, train: bool,
   return out
 
 
-def batched_reduce_dim(x, dense_params, normalize: bool = True):
+def batched_reduce_dim(x, dense_params, normalize: bool = True,
+                       dtype=None):
   """All modalities' ReduceDims in one batched einsum (shared input).
 
   x: [B, D_in]; dense_params: list of DenseParams() outputs with a
   COMMON in_dim.  Returns [B, M, D_out].
   """
+  dt = dtype or x.dtype
   w = jnp.stack([k for k, _ in dense_params])
   b = jnp.stack([bb for _, bb in dense_params])
-  out = jnp.einsum("bd,mde->bme", x, w) + b[None]
+  out = jnp.einsum("bd,mde->bme", x.astype(dt), w.astype(dt),
+                   preferred_element_type=jnp.float32) + b[None]
   return l2_normalize(out) if normalize else out
 
 
-def batched_reduce_dim_ragged(xs, dense_params, normalize: bool = True):
+def batched_reduce_dim_ragged(xs, dense_params, normalize: bool = True,
+                              dtype=None):
   """Ragged-input ReduceDims: per-modality inputs xs[i] of width D_i are
   zero-padded to max(D_i) and reduced in ONE batched einsum (zero pad
   rows meet zero-padded kernel rows, so the result is exact).
 
   xs: list of [B, D_i]; returns [B, M, D_out].
   """
+  dt = dtype or xs[0].dtype
   d_max = max(x.shape[-1] for x in xs)
   xp = jnp.stack([
-      jnp.pad(x, ((0, 0), (0, d_max - x.shape[-1]))) for x in xs], axis=1)
+      jnp.pad(x.astype(dt), ((0, 0), (0, d_max - x.shape[-1])))
+      for x in xs], axis=1)
   wp = jnp.stack([
-      jnp.pad(k, ((0, d_max - k.shape[0]), (0, 0)))
+      jnp.pad(k.astype(dt), ((0, d_max - k.shape[0]), (0, 0)))
       for k, _ in dense_params])
   b = jnp.stack([bb for _, bb in dense_params])
-  out = jnp.einsum("bmd,mde->bme", xp, wp) + b[None]
+  out = jnp.einsum("bmd,mde->bme", xp, wp,
+                   preferred_element_type=jnp.float32) + b[None]
   return l2_normalize(out) if normalize else out
 
 

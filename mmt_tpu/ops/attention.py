@@ -44,10 +44,27 @@ def multi_head_attention(q, k, v, *, num_heads, attn_bias,
   Returns [B, S, D].
   """
   b, s, d = q.shape
-  head_dim = d // num_heads
   qh = _split_heads(q, num_heads)
   kh = _split_heads(k, num_heads)
   vh = _split_heads(v, num_heads)
+  ctx = attention_bhsd(qh, kh, vh, attn_bias=attn_bias,
+                       dropout_rate=dropout_rate,
+                       deterministic=deterministic,
+                       dropout_rng_fn=dropout_rng_fn)
+  return _merge_heads(ctx).astype(q.dtype)
+
+
+def attention_bhsd(qh, kh, vh, *, attn_bias, dropout_rate=0.0,
+                   deterministic=True, dropout_rng_fn=None):
+  """Head-split attention core: q/k/v [B, H, S, dh] -> ctx [B, H, S, dh].
+
+  Callers that project straight into the head-split layout (the
+  projection einsum emits [B, H, S, dh] — bert.py TransformerLayer)
+  skip the reshape+transpose copies the [B, S, D] entry pays: the
+  profile showed those layout copies costing ~17% of eval device time
+  (docs/PERF.md round 3).
+  """
+  head_dim = qh.shape[-1]
   scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
                       preferred_element_type=jnp.float32)
   scores = scores / jnp.sqrt(jnp.float32(head_dim))
@@ -58,6 +75,5 @@ def multi_head_attention(q, k, v, *, num_heads, attn_bias,
     keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, probs.shape)
     probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
   probs = probs.astype(vh.dtype)
-  ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, vh,
-                   preferred_element_type=jnp.float32)
-  return _merge_heads(ctx).astype(q.dtype)
+  return jnp.einsum("bhqk,bhkd->bhqd", probs, vh,
+                    preferred_element_type=jnp.float32)
