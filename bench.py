@@ -116,6 +116,9 @@ def main():
   if os.environ.get("BENCH_TRAIN", "1") == "1":
     train_step_ms = _bench_train_step(jax, jnp)
 
+  # Device-only view: the tunnel's dispatch+sync RTT is a fixed
+  # environmental cost a local runtime would not pay.
+  device_latency = max(latency - rtt, 1e-9)
   result = {
       "metric": "msrvtt1k_eval_videos_per_sec_per_chip",
       "value": round(videos_per_sec, 2),
@@ -124,6 +127,7 @@ def main():
                            3),
       "latency_s_1kx1k": round(latency, 4),
       "dispatch_rtt_s": round(rtt, 4),
+      "videos_per_sec_device_only": round(N_VIDEOS / device_latency, 1),
       "backend": jax.default_backend(),
       "dtype": "bf16" if use_bf16 else "fp32",
       "pallas_similarity": bool(use_pallas

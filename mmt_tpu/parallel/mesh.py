@@ -85,8 +85,14 @@ def _global_put(x, sharding):
   """Host value -> global jax.Array on a (possibly multi-process) mesh.
 
   Every process must hold the SAME host value (lockstep loading); each
-  contributes only its addressable shards via the callback.
+  contributes only its addressable shards via the callback.  Typed PRNG
+  keys round-trip through their uint32 key data (np.asarray refuses
+  them directly).
   """
+  import jax.dtypes
+  if jax.dtypes.issubdtype(getattr(x, "dtype", None), jax.dtypes.prng_key):
+    data = _global_put(jax.random.key_data(x), sharding)
+    return jax.random.wrap_key_data(data)
   arr = np.asarray(x)
   return jax.make_array_from_callback(arr.shape, sharding,
                                       lambda idx: arr[idx])

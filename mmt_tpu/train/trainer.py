@@ -863,8 +863,11 @@ class Trainer:
       self.n_steps = int(raw.get("n_steps", 0))
       self.mnt_best = float(raw.get("monitor_best", self.mnt_best))
       if raw.get("rng") is not None:
-        self.rng = jax.random.wrap_key_data(
-            jnp.asarray(raw["rng"], dtype=jnp.uint32))
+        # Restore as a legacy uint32[2] key — the same representation
+        # jax.random.PRNGKey(seed) produced at init, so the key type is
+        # uniform across fresh/resumed runs (a typed key here broke
+        # multi-process replication: np.asarray refuses typed keys).
+        self.rng = jnp.asarray(raw["rng"], dtype=jnp.uint32)
     else:
       # Warm start: non-strict load, counters reset
       # (base/base_trainer.py:452-462).

@@ -46,15 +46,21 @@ def main_full_train():
   exp_root = pathlib.Path(os.environ["MMT_TPU_WORKER_EXP"])
   os.environ["MMT_TPU_BERT_VOCAB"] = str(root / "vocab.txt")
 
-  cfg = make_config(root, data_dir, exp_root)
-  cfg["train_sets"][0]["args"]["batch_size"] = 8  # divides the 8-dev mesh
-  cfg["trainer"].update({"epochs": 2, "max_samples_per_epoch": 16,
-                         "save_dir": str(exp_root)})
-  tag = os.environ.get("MMT_TPU_PROCESS_ID", "single")
-  cfg_path = root / f"cfg_full_{tag}.json"
-  cfg_path.write_text(json.dumps(cfg))
-
-  trainer = train_cli.main(["--config", str(cfg_path)])
+  if os.environ.get("MMT_TPU_WORKER_RESUME"):
+    # Restart leg: the exp dir already holds config.json + checkpoints
+    # from a completed run; the caller bumped epochs in config.json.
+    # Exercises multi-process _resume_checkpoint (every process reads
+    # the shared checkpoint, state re-replicates, counters restore).
+    trainer = train_cli.main(["--resume", str(exp_root)])
+  else:
+    cfg = make_config(root, data_dir, exp_root)
+    cfg["train_sets"][0]["args"]["batch_size"] = 8  # divides the 8-dev mesh
+    cfg["trainer"].update({"epochs": 2, "max_samples_per_epoch": 16,
+                           "save_dir": str(exp_root)})
+    tag = os.environ.get("MMT_TPU_PROCESS_ID", "single")
+    cfg_path = root / f"cfg_full_{tag}.json"
+    cfg_path.write_text(json.dumps(cfg))
+    trainer = train_cli.main(["--config", str(cfg_path)])
 
   leaf = np.asarray(trainer.params["moe_fc_txt_rgb"]["kernel"])
   fingerprint = float(np.abs(leaf).sum())

@@ -282,6 +282,35 @@ def test_two_process_full_trainer_matches_single_process(tmp_path):
   # Secondary process logged to its own file, not process 0's log.
   assert (exp2 / "log.p1.txt").exists()
 
+  # Restart leg: bump epochs in the dumped config and --resume across 2
+  # processes — every process reads the shared checkpoint, counters
+  # restore, one more epoch trains, and a newer checkpoint appears.
+  cfg = json.loads((exp2 / "config.json").read_text())
+  cfg["trainer"]["epochs"] = 3
+  (exp2 / "config.json").write_text(json.dumps(cfg))
+  with socket.socket() as s:
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+  renv = []
+  for pid in range(2):
+    env = env_for(4, exp2, pid, 2)
+    env["MMT_TPU_COORDINATOR"] = f"localhost:{port}"
+    env["MMT_TPU_WORKER_RESUME"] = "1"
+    renv.append(env)
+  procs = [subprocess.Popen([sys.executable, worker], env=renv[i], cwd=repo,
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+           for i in range(2)]
+  outs = [p.communicate(timeout=1800)[0] for p in procs]
+  for p, out in zip(procs, outs):
+    assert p.returncode == 0, f"resume worker rc={p.returncode}:\n{out[-4000:]}"
+  fr0, _, rperfs0 = parse(outs[0])
+  fr1, _, rperfs1 = parse(outs[1])
+  np.testing.assert_allclose(fr0, fr1, rtol=1e-8)
+  assert rperfs0 == rperfs1
+  s3 = ckpt_lib.load_checkpoint_raw(exp2 / "checkpoint-epoch3.msgpack")
+  assert int(s3["epoch"]) == 3
+
 
 def test_trainer_runs_pallas_kernels_under_mesh(tiny_train_setup=None):
   """A Trainer with an active >1-device mesh keeps BOTH Pallas kernel
