@@ -13,12 +13,22 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import re
 from typing import Dict, List, Sequence
 
 import numpy as np
 
 from mmt_tpu.data import stop_words
+
+# Budget for the per-record padded-temporal-block memo (make_sample):
+# the blocks are created AFTER a record is admitted to the RecordCache,
+# so they are accounted separately from MMT_TPU_RECORD_CACHE_MB — once
+# this budget is spent, samples compute blocks fresh instead of caching
+# (0 disables the memo entirely).
+_FEAT_BLOCK_CACHE_MB = int(os.environ.get("MMT_TPU_FEAT_BLOCK_CACHE_MB",
+                                          "2048"))
+_feat_block_bytes = 0
 
 
 def crop_or_pad_tokens(token_ids: Sequence[int], max_text_words: int):
@@ -89,7 +99,7 @@ def choose_or_pad_features(features, features_t, max_tokens, training,
     sel, sel_t = features[pick], features_t[pick]
   out[:keep] = sel
   if shuffle and training:
-    shuffled = np.asarray(sel_t, dtype=np.float64).copy()
+    shuffled = np.array(sel_t)   # plain copy; shuffle is dtype-neutral
     np.random.RandomState(seed).shuffle(shuffled)
     out_t[:keep] = shuffled
   else:
@@ -353,10 +363,15 @@ def make_sample(record, tokenizer, experts: Dict[str, int],
           block = choose_or_pad_features(
               f_sel, f_t_sel, opts.max_expert_tokens, training,
               shuffle=opts.shuffle_feats_t, seed=idx)
-          if cacheable:
+          global _feat_block_bytes
+          size = sum(a.nbytes for a in block)
+          if (cacheable and _FEAT_BLOCK_CACHE_MB
+              and _feat_block_bytes + size
+              <= _FEAT_BLOCK_CACHE_MB * 1024 * 1024):
             for arr in block:
               arr.flags.writeable = False   # samples alias these (cache!)
             record.feat_blocks[cache_key] = block
+            _feat_block_bytes += size
         sub, sub_t, sub_ind = block
         feats[expert].append(sub)
         feats_t[expert].append(sub_t)

@@ -48,28 +48,17 @@ class _LNParams(nn.Module):
     return scale, bias
 
 
-class _Proj(nn.Module):
-  """Parameter holder with nn.Dense's exact tree ({kernel, bias}).
-
-  Exists so the FFN projections keep their reference-checkpoint param
-  layout (ffn_inter/kernel, ffn_out/kernel — the converter and
-  warm-start paths depend on it) while the *apply* path can route the
-  weights into the hand-fused Pallas FFN-block kernel (mmt_tpu/ops/ffn.py).
-  (A concatenated-QKV variant was also measured and rejected: one
-  [H, 3H] matmul benched ~1.4% SLOWER end-to-end than three nn.Dense
-  calls — the per-step weight concat costs more than the merge saves,
-  docs/PERF.md.)
-  """
-  in_dim: int
-  out_dim: int
-  kernel_init: nn.initializers.Initializer
-
-  @nn.compact
-  def __call__(self):
-    kernel = self.param("kernel", self.kernel_init,
-                        (self.in_dim, self.out_dim))
-    bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
-    return kernel, bias
+# Parameter holder with nn.Dense's exact tree ({kernel, bias}) — the
+# shared components.DenseParams.  Exists so the attention/FFN
+# projections keep their reference-checkpoint param layout
+# (query/kernel, ffn_inter/kernel, ... — the converter and warm-start
+# paths depend on it) while the *apply* path routes the weights into
+# layout-native einsums and the fused Pallas FFN-block kernel
+# (mmt_tpu/ops/ffn.py).  (A concatenated-QKV variant was measured and
+# rejected: one [H, 3H] matmul benched ~1.4% SLOWER end-to-end than
+# separate projections — the per-step weight concat costs more than the
+# merge saves, docs/PERF.md.)
+from mmt_tpu.models.components import DenseParams as _Proj  # noqa: E402
 
 
 class TransformerLayer(nn.Module):

@@ -490,8 +490,10 @@ def similarity_from_outputs(outputs, merge: str, prefer_pallas=None):
 
   prefer_pallas=False forces the XLA path (None follows the global
   toggle).  The Pallas kernel is safe under GSPMD-sharded callers: it
-  carries a custom_partitioning rule (ops/similarity.py:_fused_sim_fn —
-  caption rows shard, video operands all-gather).
+  carries a TWO-SIDED custom_partitioning rule
+  (ops/similarity.py:_qv_sharded — caption rows shard like the text
+  operands, video rows like the video operands; only a same-axis
+  conflict, e.g. the trainer's data mesh, gathers one side).
   """
   text_embds = outputs["text_embds"]
   b, k, m, d = text_embds.shape

@@ -231,13 +231,19 @@ class LSTMPooler(nn.Module):
 
 
 class DenseParams(nn.Module):
-  """Parameter holder with nn.Dense's exact tree ({kernel, bias})."""
+  """Parameter holder with nn.Dense's exact tree ({kernel, bias}).
+
+  The single holder shared by every batched/fused apply path (the BERT
+  towers alias it as ``_Proj``), so the checkpoint-tree contract lives
+  in one place.  kernel_init defaults to nn.Dense's default.
+  """
   in_dim: int
   out_dim: int
+  kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
 
   @nn.compact
   def __call__(self):
-    kernel = self.param("kernel", nn.initializers.lecun_normal(),
+    kernel = self.param("kernel", self.kernel_init,
                         (self.in_dim, self.out_dim))
     bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
     return kernel, bias

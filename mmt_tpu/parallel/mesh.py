@@ -44,7 +44,6 @@ def maybe_initialize_distributed():
   global _DISTRIBUTED_INITIALIZED
   if _DISTRIBUTED_INITIALIZED:
     return
-  _DISTRIBUTED_INITIALIZED = True
   if os.environ.get("MMT_TPU_COORDINATOR"):
     # Check the resolved config value, not just the env var: workers may
     # select the platform via jax.config.update("jax_platforms", "cpu")
@@ -61,6 +60,10 @@ def maybe_initialize_distributed():
         coordinator_address=os.environ["MMT_TPU_COORDINATOR"],
         num_processes=int(os.environ.get("MMT_TPU_NUM_PROCESSES", "1")),
         process_id=int(os.environ.get("MMT_TPU_PROCESS_ID", "0")))
+  # Only mark done AFTER a successful initialize: a raised init (e.g.
+  # coordinator not up yet) must stay retryable, not become a silent
+  # single-process no-op that diverges from its peers.
+  _DISTRIBUTED_INITIALIZED = True
 
 
 def data_mesh(devices=None, model_parallel: int = 1) -> Optional[Mesh]:

@@ -242,13 +242,19 @@ class Trainer:
     ds_names = {e["dataset"].dataset_name
                 for e in self.data_loaders.get("continuous_eval_sets", [])}
     metric_fns = {name for name, _ in self.metrics}
-    # cols2metrics output surface (mmt_tpu/train/metrics.py:19-37).
-    value_names = {"R1", "R5", "R10", "R50", "MedR", "MeanR",
-                   "geometric_mean_R1-R5-R10"}
-    valid = {f"{ds}/{fn}/{vn}" for ds in ds_names for fn in metric_fns
-             for vn in value_names}
-    if self.mnt_metric not in valid:
-      hint = sorted(valid)[:4]
+    parts = self.mnt_metric.split("/")
+    ok = (len(parts) == 3 and parts[0] in ds_names
+          and parts[1] in metric_fns)
+    # The VALUE part is only statically known for the shipped retrieval
+    # metrics (cols2metrics surface, mmt_tpu/train/metrics.py:19-37);
+    # custom registered metric fns may emit any key names, so only the
+    # dataset and metric-fn parts are enforced for them.
+    if ok and parts[1] in ("t2v_metrics", "v2t_metrics"):
+      ok = parts[2] in {"R1", "R5", "R10", "R50", "MedR", "MeanR",
+                        "geometric_mean_R1-R5-R10"}
+    if not ok:
+      hint = sorted(f"{ds}/{fn}/R1" for ds in ds_names
+                    for fn in metric_fns)[:4]
       raise ValueError(
           f"monitor metric {self.mnt_metric!r} will never appear in the "
           f"epoch log (eval sets: {sorted(ds_names)}, metrics: "
@@ -406,6 +412,11 @@ class Trainer:
     self.params = mesh_lib.replicate_tree(self.mesh, self.params)
     self.batch_stats = mesh_lib.replicate_tree(self.mesh, self.batch_stats)
     self.opt_state = mesh_lib.replicate_tree(self.mesh, self.opt_state)
+    # The RNG key is replicated ONCE; jax.random.split then runs as a
+    # tiny lockstep global computation each step — replicating the key
+    # per step would round-trip it through host memory (a device->host
+    # sync on the hot path, the loss.item() pattern in disguise).
+    self.rng = mesh_lib.replicate_tree(self.mesh, self.rng)
 
   # ------------------------------------------------------------------
   # Train loop
@@ -567,11 +578,10 @@ class Trainer:
       lr = epoch_lr * self.warmup(self.n_steps - 1)
 
       step_start = time.time()
+      # Under multi-process, self.rng is a replicated global array
+      # (_ensure_global_state), so the split stays on device and its
+      # outputs are already valid global jit arguments.
       self.rng, step_rng = jax.random.split(self.rng)
-      if self.multiprocess:
-        # The split above runs on the local default device; the step's
-        # arguments must be global arrays under a multi-process mesh.
-        step_rng = mesh_lib.replicate_tree(self.mesh, step_rng)
       self.params, self.batch_stats, self.opt_state, loss = self.train_step(
           self.params, self.batch_stats, self.opt_state, batch, lr, step_rng)
       self._maybe_preempt_exit(epoch - 1)

@@ -59,7 +59,7 @@ HARD_GATES = {"t2v_metrics/R1": 24.0, "t2v_metrics/R5": 56.0}
 BERT_VOCAB_LINES = 28996  # bert-base-cased (utils/nlp_utils.py:19-42)
 
 
-def sha256_of(path: pathlib.Path, limit_mb: int = 4096) -> str:
+def sha256_of(path: pathlib.Path) -> str:
   h = hashlib.sha256()
   with open(path, "rb") as f:
     while chunk := f.read(1 << 20):
