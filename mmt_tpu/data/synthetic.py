@@ -127,6 +127,10 @@ def generate(root, num_videos: int = 32, num_test: int = 8,
   # first num_test) get pairwise-distinct topics (same-topic test videos
   # are indistinguishable), and every test topic also appears in the
   # training split (otherwise its word embedding is never trained).
+  assert num_test <= len(TOPICS), (
+      f"num_test ({num_test}) exceeds the {len(TOPICS)} distinct topics "
+      "the synthetic corpus can assign (test videos need pairwise-"
+      "distinct topics to be retrievable)")
   pool = rng.permutation(len(TOPICS))
   n_pool = max(num_test, min(len(TOPICS), num_videos - num_test))
   pool = pool[:n_pool]

@@ -129,6 +129,61 @@ def _round_up(x, m):
   return ((x + m - 1) // m) * m
 
 
+# ---------------------------------------------------------------------------
+# Scoped-VMEM feasibility.  Mosaic's scoped-vmem limit is 16 MB per core;
+# a kernel whose resident weights + row tiles exceed it fails at COMPILE
+# time ("Ran out of memory in memory space vmem ... scoped vmem limit").
+# The estimates below (weights at compute_dtype + the fp32 [T, I]
+# intermediate + the fp32 row tiles) reproduced the compiler's accounting
+# to within ~15% on the shapes we hit, erring high.  Selection walks the
+# row tile down by halves and, when even the smallest tile cannot fit —
+# fp32 compute at H=768/I=3072 puts the weights alone at 18.9 MB —
+# returns None so the callers fall back to the XLA path instead of
+# shipping a kernel that cannot compile.  bf16 routing is unchanged from
+# the measured PERF.md configuration (512 / 256 eval, 512 / 128 train).
+# ---------------------------------------------------------------------------
+_VMEM_LIMIT = 16 * 1024 * 1024
+
+
+def _eval_vmem(tile, h, i, itemsize):
+  return 2 * h * i * itemsize + tile * i * 4 + 3 * tile * h * 4
+
+
+def _train_vmem(tile, h, i, itemsize):
+  # Adds the dropout-mask input tile and the inter/z residual outputs.
+  return (2 * h * i * itemsize + tile * i * 4 + tile * i * itemsize
+          + 5 * tile * h * 4)
+
+
+def _fit_tile(start, h, i, itemsize, estimate):
+  tile = start
+  while tile > 8 and estimate(tile, h, i, itemsize) > _VMEM_LIMIT:
+    tile //= 2
+  if estimate(tile, h, i, itemsize) > _VMEM_LIMIT:
+    return None
+  return tile
+
+
+def _eval_tile(r, h, i, itemsize):
+  """Row tile for the fused eval kernel, or None if no tile fits."""
+  if _TILE_OVERRIDE:
+    return min(_TILE_OVERRIDE, _round_up(r, 8))
+  start = 512 if h * i * itemsize <= 512 * 2048 * 2 else 256
+  tile = _fit_tile(start, h, i, itemsize, _eval_vmem)
+  return None if tile is None else min(tile, _round_up(r, 8))
+
+
+def kernel_fits(h, i, compute_dtype, train=False) -> bool:
+  """True if the fused FFN kernel for an [H -> I -> H] tower at
+  ``compute_dtype`` fits scoped VMEM at some row tile.  fp32 compute at
+  flagship text geometry (768x3072) does NOT fit; callers route to the
+  XLA path (``xla_ffn_block`` / ``xla_ffn_block_train``) instead."""
+  itemsize = jnp.dtype(compute_dtype).itemsize
+  if train:
+    return _fit_tile(512, h, i, itemsize, _train_vmem) is not None
+  return _fit_tile(512, h, i, itemsize, _eval_vmem) is not None
+
+
 def _row_sharded(local_fn, rule, row_args):
   """custom_partitioning wrapper: the op is row-parallel.
 
@@ -171,15 +226,17 @@ def _pallas_ffn_2d(x, w1, b1, w2, b2, gamma, beta, *, eps, compute_dtype,
   r, h = x.shape
   i = w1.shape[1]
   # Row tile sized so weights (w1+w2, VMEM-resident) + the fp32 [T, I]
-  # intermediate + double-buffered x/out tiles stay within ~16 MB VMEM.
-  # Both flagship towers (video H=512 I=3072, text H=768 I=3072 — see
-  # configs/eccv20/msrvtt_jsfusion_trainval.json) take the T=256 branch:
-  # video 6.3 MB bf16 weights + 3.1 MB fp32 inter, text 9.4 MB + 3.1 MB.
-  # T=512 is reserved for smaller towers (h*i <= 512*2048: <= 4 MB
-  # weights + <= 4 MB inter); the PERF.md end-to-end numbers were
+  # intermediate + double-buffered x/out tiles stay within the 16 MB
+  # scoped-VMEM limit (_eval_tile).  Both flagship towers at bf16 (video
+  # H=512 I=3072, text H=768 I=3072 — see
+  # configs/eccv20/msrvtt_jsfusion_trainval.json) take T=256: video
+  # 6.3 MB bf16 weights + 3.1 MB fp32 inter, text 9.4 MB + 3.1 MB.
+  # T=512 serves smaller towers; the PERF.md end-to-end numbers were
   # measured with this routing, i.e. tile 256 on both flagship towers.
-  tile_r = _TILE_OVERRIDE or (512 if h * i <= 512 * 2048 else 256)
-  tile_r = min(tile_r, _round_up(r, 8))
+  # Infeasible (h, i, dtype) combinations never reach here — ffn_block
+  # gates on kernel_fits() and falls back to XLA.
+  tile_r = _eval_tile(r, h, i, jnp.dtype(compute_dtype).itemsize)
+  assert tile_r is not None, (h, i, compute_dtype)
   # Ragged row counts are left to Pallas' partial-block masking (stores
   # past r are dropped; garbage pad rows only feed their own discarded
   # LN outputs).  An explicit jnp.pad + out[:r] slice showed up as copy
@@ -331,8 +388,12 @@ def _ffn_train_bwd_kernel(dy_ref, z_ref, inter_ref, drop_ref, w1_ref,
   dx_ref[:] = dx + dz
 
 
-def _train_tile(r, h, i):
-  tile_r = _TILE_OVERRIDE or (512 if h * i <= 512 * 2048 else 128)
+def _train_tile(r, h, i, itemsize):
+  if _TILE_OVERRIDE:
+    return min(_TILE_OVERRIDE, _round_up(r, 8))
+  start = 512 if h * i * itemsize <= 512 * 2048 * 2 else 128
+  tile_r = _fit_tile(start, h, i, itemsize, _train_vmem)
+  assert tile_r is not None, (h, i, itemsize)  # gated by kernel_fits()
   return min(tile_r, _round_up(r, 8))
 
 
@@ -340,7 +401,7 @@ def _pallas_ffn_train_fwd(x, drop, w1, b1, w2, b2, gamma, beta, *, eps,
                           compute_dtype, interpret):
   r, h = x.shape
   i = w1.shape[1]
-  tile_r = _train_tile(r, h, i)
+  tile_r = _train_tile(r, h, i, jnp.dtype(compute_dtype).itemsize)
   const = lambda shape: pl.BlockSpec(shape, lambda ri: (0, 0),
                                      memory_space=pltpu.VMEM)
   row = lambda width: pl.BlockSpec((tile_r, width), lambda ri: (ri, 0),
@@ -374,7 +435,7 @@ def _pallas_ffn_train_bwd(dy, z, inter, drop, w1, w2, gamma, *, eps,
                           compute_dtype, interpret):
   r, h = z.shape
   i = inter.shape[1]
-  tile_r = _train_tile(r, h, i)
+  tile_r = _train_tile(r, h, i, jnp.dtype(compute_dtype).itemsize)
   const = lambda shape: pl.BlockSpec(shape, lambda ri: (0, 0),
                                      memory_space=pltpu.VMEM)
   row = lambda width: pl.BlockSpec((tile_r, width), lambda ri: (ri, 0),
@@ -488,6 +549,9 @@ def ffn_block_train(x, drop, w1, b1, w2, b2, gamma, beta, *, eps,
   Returns fp32 [..., H]."""
   lead = x.shape[:-1]
   h = x.shape[-1]
+  if not kernel_fits(h, w1.shape[1], compute_dtype, train=True):
+    return xla_ffn_block_train(x, drop, w1, b1, w2, b2, gamma, beta,
+                               eps=eps, compute_dtype=compute_dtype)
   if interpret is None:
     interpret = _INTERPRET
   fn = _fused_ffn_train_fn(float(eps), jnp.dtype(compute_dtype).name,
@@ -502,6 +566,9 @@ def ffn_block(x, w1, b1, w2, b2, gamma, beta, *, eps,
   """Fused FFN sub-block over [..., H] input; returns fp32 [..., H]."""
   lead = x.shape[:-1]
   h = x.shape[-1]
+  if not kernel_fits(h, w1.shape[1], compute_dtype):
+    return xla_ffn_block(x, w1, b1, w2, b2, gamma, beta, eps=eps,
+                         compute_dtype=compute_dtype)
   x2 = x.reshape(-1, h)
   if interpret is None:
     interpret = _INTERPRET

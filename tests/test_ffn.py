@@ -224,3 +224,57 @@ def test_full_tower_train_mode_fused_vs_unfused_grads():
     np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                rtol=5e-4, atol=1e-5,
                                err_msg=jax.tree_util.keystr(path))
+
+
+# ---------------------------------------------------------------------------
+# Scoped-VMEM feasibility gate (mmt_tpu/ops/ffn.py:kernel_fits).  fp32
+# compute at flagship text geometry (H=768, I=3072) puts the resident
+# weights alone at 18.9 MB > the 16 MB scoped-VMEM limit — no row tile
+# can fit, and the kernel OOMs at *compile* time on real TPU.  The gate
+# must route such shapes to the XLA path; bf16 routing must be untouched
+# (it is the measured PERF.md configuration).
+# ---------------------------------------------------------------------------
+
+
+def test_vmem_gate_fp32_flagship_text_does_not_fit():
+  assert not ffn.kernel_fits(768, 3072, jnp.float32)
+  assert not ffn.kernel_fits(768, 3072, jnp.float32, train=True)
+
+
+def test_vmem_gate_bf16_flagship_towers_fit():
+  for h in (512, 768):
+    assert ffn.kernel_fits(h, 3072, jnp.bfloat16)
+    assert ffn.kernel_fits(h, 3072, jnp.bfloat16, train=True)
+
+
+def test_vmem_gate_bf16_routing_unchanged():
+  # The tiles the PERF.md numbers were measured with: eval 256 on both
+  # flagship towers, train 128; small towers eval 512.
+  assert ffn._eval_tile(1024, 512, 3072, 2) == 256
+  assert ffn._eval_tile(1024, 768, 3072, 2) == 256
+  assert ffn._eval_tile(1024, 512, 2048, 2) == 512
+  assert ffn._train_tile(1024, 512, 3072, 2) == 128
+  assert ffn._train_tile(1024, 768, 3072, 2) == 128
+
+
+def test_ffn_block_fp32_flagship_falls_back_to_xla():
+  # With the gate active the fp32 flagship-text call must route to the
+  # XLA path (bitwise-equal result) and never construct the pallas_call
+  # even with interpret unavailable.
+  args = _make_inputs(16, 768, 3072, seed=11)
+  got = ffn.ffn_block(*args, eps=1e-12, compute_dtype=jnp.float32,
+                      interpret=False)  # kernel would OOM; must not run
+  want = ffn.xla_ffn_block(*args, eps=1e-12, compute_dtype=jnp.float32)
+  np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_ffn_block_train_fp32_flagship_falls_back_to_xla():
+  rng = np.random.RandomState(13)
+  args = _make_inputs(16, 768, 3072, seed=13)
+  drop = (rng.rand(16, 768) > 0.1).astype(np.float32) / 0.9
+  x, rest = args[0], args[1:]
+  got = ffn.ffn_block_train(x, drop, *rest, eps=1e-12,
+                            compute_dtype=jnp.float32, interpret=False)
+  want = ffn.xla_ffn_block_train(x, drop, *rest, eps=1e-12,
+                                 compute_dtype=jnp.float32)
+  np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

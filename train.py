@@ -110,6 +110,13 @@ def train(config):
 
   model_kwargs = {k: v for k, v in arch_args.items()
                   if k not in ("vocab_size",)}
+  # TPU extension knob (not in the reference config surface): arch.args
+  # "compute_dtype": "bfloat16" runs the BERT towers' matmuls in bf16
+  # (LN/softmax/heads stay fp32 — models/cenet.py:76,256).  Default fp32
+  # matches reference numerics exactly.
+  if "compute_dtype" in model_kwargs:
+    import jax.numpy as jnp
+    model_kwargs["compute_dtype"] = jnp.dtype(model_kwargs["compute_dtype"])
   if tokenizer is not None and hasattr(tokenizer, "vocab_size"):
     geom = dict(model_kwargs.get("text_bert_geometry") or {})
     if arch_args.get("txt_agg", "bert")[:4] != "bert":
