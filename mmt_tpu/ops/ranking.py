@@ -148,11 +148,13 @@ def _fused_counts(queries, cands, qw, cw, gt, gtcol, colbias):
   nc = cands.shape[0]
   m = qw.shape[1]
 
-  # Tile sizes sized for VMEM: 2 double-buffered operand tiles of
-  # [tile, M*D] fp32 must fit in ~16 MB (M*D is 3584 for the 7-expert
-  # flagship).
-  tile_q = min(_round_up(nq, 8), 128)
-  tile_v = min(_round_up(nc, 128), 256)
+  # Tile sizes walked down so the double-buffered [tile, M*D] fp32
+  # operand tiles fit scoped VMEM (shared sizing with the similarity
+  # kernel — ops/similarity.py:qv_tiles; (128, 256) at flagship M*D).
+  from mmt_tpu.ops.similarity import qv_tiles
+  tiles = qv_tiles(nq, nc, k)
+  assert tiles is not None, (nq, nc, k)  # gated in *_ranks_from_embeddings
+  tile_q, tile_v = tiles
   qp, vp = _round_up(nq, tile_q), _round_up(nc, tile_v)
   t = jnp.pad(queries, ((0, qp - nq), (0, 0)))
   vv = jnp.pad(cands, ((0, vp - nc), (0, 0)))
@@ -293,7 +295,9 @@ def t2v_ranks_from_embeddings(text_embds, vid_embds, text_weights,
                               vid_weights):
   """Backend dispatch: Pallas on TPU, candidate-chunked XLA elsewhere.
   Either way the [Q, V] similarity matrix is never materialized in HBM."""
-  if jax.default_backend() == "tpu":
+  from mmt_tpu.ops.similarity import qv_tiles
+  m, d = text_embds.shape[1:]
+  if jax.default_backend() == "tpu" and qv_tiles(1, 1, m * d) is not None:
     return fused_t2v_ranks(text_embds, vid_embds, text_weights, vid_weights)
   q = text_embds.shape[0]
   v = vid_embds.shape[0]
@@ -309,7 +313,9 @@ def t2v_ranks_from_embeddings(text_embds, vid_embds, text_weights,
 def v2t_ranks_from_embeddings(text_embds, vid_embds, text_weights,
                               vid_weights, query_masks):
   """Backend dispatch for the v2t orientation (see t2v counterpart)."""
-  if jax.default_backend() == "tpu":
+  from mmt_tpu.ops.similarity import qv_tiles
+  m, d = text_embds.shape[1:]
+  if jax.default_backend() == "tpu" and qv_tiles(1, 1, m * d) is not None:
     return fused_v2t_ranks(text_embds, vid_embds, text_weights,
                            vid_weights, query_masks)
   return _v2t_ranks_from_counts(_chunked_counts, text_embds, vid_embds,

@@ -73,6 +73,12 @@ def moe_similarity(text_embds, vid_embds, text_weights, vid_weights,
     [B, V] ('avg') or [Q, V] ('indep') similarity matrix, fp32.
   """
   use_kernel = _USE_PALLAS if prefer_pallas is None else prefer_pallas
+  if use_kernel:
+    # Scoped-VMEM feasibility: an M*D too wide for even the smallest
+    # operand tiling routes to XLA instead of failing at compile time.
+    q, m, d = text_embds.shape
+    if qv_tiles(q, vid_embds.shape[0], m * d) is None:
+      use_kernel = False
   if use_kernel and (_INTERPRET or jax.default_backend() == "tpu"):
     sims = _fused_sim_fn(_INTERPRET)(text_embds, vid_embds,
                                      text_weights, vid_weights)
@@ -244,6 +250,29 @@ def _round_up(x, m):
   return ((x + m - 1) // m) * m
 
 
+_VMEM_LIMIT = 16 * 1024 * 1024
+
+
+def qv_tiles(q, v, md):
+  """(tile_q, tile_v) for a [Q, V]-gridded kernel whose operand tiles are
+  [tile, M*D] fp32, walked down so the double-buffered tiles fit the
+  16 MB scoped-VMEM limit; None if even the smallest tiling cannot.
+
+  The 7-expert flagship (M*D = 3584) takes the measured (128, 256);
+  larger embedding widths (e.g. same_dim=768: M*D = 5376) step down to
+  (128, 128) instead of failing at compile time.  Shared with
+  ops/ranking.py, whose kernel has the same operand footprint.
+  """
+  # 1 MB of headroom below the hard limit: the estimate ignores the
+  # weight tiles and compiler scratch, and a tiling that lands exactly on
+  # the boundary is one layout decision away from an OOM.
+  budget = _VMEM_LIMIT - 1024 * 1024
+  for tq, tv in ((128, 256), (128, 128), (64, 128), (32, 128), (8, 128)):
+    if 2 * (tq + tv) * md * 4 + 2 * tq * tv * 4 <= budget:
+      return min(_round_up(q, 8), tq), min(_round_up(v, 128), tv)
+  return None
+
+
 def _pallas_moe_similarity(text_embds, vid_embds, text_weights, vid_weights,
                            interpret: bool = False):
   q, m, d = text_embds.shape
@@ -253,11 +282,9 @@ def _pallas_moe_similarity(text_embds, vid_embds, text_weights, vid_weights,
   t = (text_embds.astype(jnp.float32) * tw[:, :, None]).reshape(q, m * d)
   vv = (vid_embds.astype(jnp.float32) * vw[:, :, None]).reshape(v, m * d)
 
-  # Tile sizes sized for VMEM: 2 double-buffered operand tiles of
-  # [tile, M*D] fp32 must fit in ~16 MB (M*D is 3584 for the 7-expert
-  # flagship).
-  tile_q = min(_round_up(q, 8), 128)
-  tile_v = min(_round_up(v, 128), 256)
+  tiles = qv_tiles(q, v, m * d)
+  assert tiles is not None, (q, v, m, d)  # gated in moe_similarity
+  tile_q, tile_v = tiles
   qp, vp = _round_up(q, tile_q), _round_up(v, tile_v)
   # Zero padding is harmless: padded rows produce denom==0 -> eps guard.
   t = jnp.pad(t, ((0, qp - q), (0, 0)))
