@@ -15,6 +15,7 @@ Reproduces base/base_trainer.py:346-464 and utils/util.py:71-82:
 
 from __future__ import annotations
 
+import concurrent.futures
 import logging
 import os
 import pathlib
@@ -56,6 +57,62 @@ def save_checkpoint(ckpt_dir, state: Dict[str, Any], epoch: int,
   if save_best:
     _atomic_write(ckpt_dir / "trained_model.msgpack", blob)
   return str(path)
+
+
+class AsyncCheckpointWriter:
+  """Overlap checkpoint encode+write with the next epoch's compute.
+
+  The reference blocks the training loop on ``torch.save`` every epoch
+  (base/base_trainer.py:346-369).  Here the caller fetches the state to
+  HOST memory first (device buffers are donated by the next train step,
+  so the snapshot must complete before training resumes), then hands the
+  host tree to a single background worker that does the msgpack encode
+  and the atomic write — the expensive, device-independent half.
+
+  Ordering and safety:
+  * one worker thread, one job in flight: each ``save``/``purge`` first
+    joins the previous job, so host memory is bounded at ~2 state copies
+    and on-disk effects happen in submission order (a purge submitted
+    after a save always sees the save's file);
+  * worker exceptions are re-raised at the NEXT ``save``/``purge``/
+    ``flush`` — a failed write cannot be silently lost;
+  * ``flush()`` must be called before any read of the files (end of
+    ``train()``, before final-eval checkpoint load, preemption exit).
+
+  ``async_enabled=False`` degrades to the synchronous inline behavior.
+  """
+
+  def __init__(self, async_enabled: bool = True):
+    self._pool = (concurrent.futures.ThreadPoolExecutor(
+        max_workers=1, thread_name_prefix="ckpt-writer")
+                  if async_enabled else None)
+    self._pending: Optional[concurrent.futures.Future] = None
+
+  def _submit(self, fn):
+    if self._pool is None:
+      fn()
+      return
+    self.flush()
+    self._pending = self._pool.submit(fn)
+
+  def save(self, ckpt_dir, host_state: Dict[str, Any], epoch: int,
+           save_best: bool = False):
+    """Encode+write ``host_state`` in the background.
+
+    ``host_state`` leaves must already be host arrays (np.ndarray) — the
+    caller owns the device->host fetch; see Trainer._save_checkpoint.
+    """
+    self._submit(lambda: save_checkpoint(ckpt_dir, host_state, epoch,
+                                         save_best=save_best))
+
+  def purge(self, ckpt_dir, num_keep: int = 1):
+    self._submit(lambda: purge_stale_checkpoints(ckpt_dir, num_keep))
+
+  def flush(self):
+    """Join the in-flight write; re-raise its exception, if any."""
+    if self._pending is not None:
+      pending, self._pending = self._pending, None
+      pending.result()
 
 
 def load_checkpoint_raw(path) -> Dict[str, Any]:

@@ -186,6 +186,15 @@ class Trainer:
     # manual --resume).
     self._install_preemption_handler()
 
+    # Background checkpoint writes: the device->host snapshot happens
+    # inline (donation invalidates device buffers at the next step), the
+    # msgpack encode + disk write overlap the next epoch.  The reference
+    # blocks on torch.save here (base/base_trainer.py:346-369).
+    # trainer.args "async_checkpoint": false restores inline writes.
+    self._ckpt_writer = ckpt_lib.AsyncCheckpointWriter(
+        async_enabled=bool(cfg_trainer.get("async_checkpoint", True))
+        and self.is_primary)
+
     self.start_epoch = 0
     self.epoch = 0
     self.loaded_epoch = 0
@@ -294,6 +303,7 @@ class Trainer:
     epoch, self.epoch = self.epoch, completed_epoch
     try:
       self._save_checkpoint(completed_epoch, save_best=False)
+      self._ckpt_writer.flush()  # the process exits right after
       logger.warning("preemption checkpoint written (epoch %d complete); "
                      "exiting", completed_epoch)
     except Exception:
@@ -490,7 +500,9 @@ class Trainer:
         elif epoch % self.save_period == 0 or save_best:
           self._save_checkpoint(epoch, save_best=best)
         if epoch > self.num_keep_ckpts and self.is_primary:
-          ckpt_lib.purge_stale_checkpoints(self.exp_dir, self.num_keep_ckpts)
+          # Routed through the writer queue so the purge always sees the
+          # epoch's (possibly still in-flight) checkpoint file.
+          self._ckpt_writer.purge(self.exp_dir, self.num_keep_ckpts)
       # SIGTERM between epochs (e.g. during the continuous eval above):
       # this epoch IS complete, checkpoint it as such and exit.
       self._maybe_preempt_exit(epoch)
@@ -525,6 +537,10 @@ class Trainer:
       if self.is_primary:
         update_perf_log({k: v for k, v in log.items()
                          if not k.endswith("cols")}, self.perf_log_path)
+
+    # Join the last background checkpoint write (and surface its error)
+    # before callers read the files (evaluate() loads trained_model).
+    self._ckpt_writer.flush()
 
   def _select_train_set(self, epoch):
     """Curriculum: first train set whose until_epoch >= epoch
@@ -762,6 +778,7 @@ class Trainer:
     (base/base_trainer.py:244-297)."""
     # Process 0 may still be flushing the last checkpoint; everyone must
     # see the same file (or the same absence) before loading.
+    self._ckpt_writer.flush()
     mesh_lib.barrier("pre_final_eval")
     best = self.exp_dir / "trained_model.msgpack"
     if best.exists():
@@ -833,8 +850,13 @@ class Trainer:
     # (state is replicated).  Readers sync via mesh_lib.barrier().
     if not self.is_primary:
       return
-    ckpt_lib.save_checkpoint(self.exp_dir, self._state_dict(), epoch,
-                             save_best=save_best)
+    # Snapshot to host NOW (the next train step donates these buffers);
+    # encode+write happen on the writer thread (AsyncCheckpointWriter).
+    host_state = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x,
+        self._state_dict())
+    self._ckpt_writer.save(self.exp_dir, host_state, epoch,
+                           save_best=save_best)
 
   def _resume_checkpoint(self, resume_path):
     resume_path = str(resume_path)

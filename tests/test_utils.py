@@ -126,6 +126,51 @@ def test_checkpoint_roundtrip(tmp_path, rng):
   assert left == ["checkpoint-epoch7.msgpack"]
 
 
+def test_async_checkpoint_writer_matches_sync(tmp_path, rng):
+  from mmt_tpu.train import checkpoint as ckpt
+
+  state = {"params": {"w": rng.randn(4, 4).astype(np.float32)},
+           "epoch": 3, "n_steps": 9}
+  sync_dir, async_dir = tmp_path / "sync", tmp_path / "async"
+  ckpt.save_checkpoint(sync_dir, state, epoch=3, save_best=True)
+
+  writer = ckpt.AsyncCheckpointWriter(async_enabled=True)
+  writer.save(async_dir, state, epoch=3, save_best=True)
+  writer.flush()
+  for name in ("checkpoint-epoch3.msgpack", "trained_model.msgpack"):
+    assert (async_dir / name).read_bytes() == (sync_dir / name).read_bytes()
+
+
+def test_async_checkpoint_writer_orders_purge_after_save(tmp_path, rng):
+  from mmt_tpu.train import checkpoint as ckpt
+
+  state = {"params": {"w": rng.randn(2, 2).astype(np.float32)}}
+  writer = ckpt.AsyncCheckpointWriter(async_enabled=True)
+  writer.save(tmp_path, state, epoch=1)
+  writer.save(tmp_path, state, epoch=2)
+  writer.purge(tmp_path, num_keep=1)  # must see epoch 2's file
+  writer.flush()
+  import pathlib
+  left = sorted(p.name for p in pathlib.Path(tmp_path).glob("checkpoint-*"))
+  assert left == ["checkpoint-epoch2.msgpack"]
+
+
+def test_async_checkpoint_writer_propagates_errors(tmp_path, rng):
+  from mmt_tpu.train import checkpoint as ckpt
+
+  # ckpt_dir is an existing FILE: mkdir(parents=True) in the worker fails.
+  blocker = tmp_path / "not_a_dir"
+  blocker.write_text("x")
+  writer = ckpt.AsyncCheckpointWriter(async_enabled=True)
+  writer.save(blocker, {"params": {}}, epoch=1)
+  with pytest.raises(Exception):
+    writer.flush()
+  # A flushed error is consumed: the writer stays usable.
+  writer.save(tmp_path, {"params": {}}, epoch=2)
+  writer.flush()
+  assert (tmp_path / "checkpoint-epoch2.msgpack").exists()
+
+
 def test_position_embedding_pad_rule(rng):
   from mmt_tpu.train.checkpoint import match_checkpoint_to_model
 
