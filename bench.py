@@ -30,7 +30,14 @@ REPS = int(os.environ.get("BENCH_REPS", "5"))
 BASELINE_VIDEOS_PER_SEC_PER_CHIP = 250.0
 
 
-def main():
+def build_full_eval():
+  """Build the fused 1k x 1k eval exactly as the benchmark runs it.
+
+  Returns (run_eval, full_eval, variables, device_batch): run_eval() is
+  the dispatch+sync closure main() times; full_eval is the underlying
+  jitted program (shared with scripts/profile_eval.py so profiles
+  measure the SAME program the benchmark reports).
+  """
   import jax
   import jax.numpy as jnp
 
@@ -92,6 +99,18 @@ def main():
     # Force a scalar host read: through the remote-dispatch tunnel,
     # block_until_ready alone is not a reliable completion barrier.
     return float(full_eval(variables, device_batch))
+
+  return run_eval, full_eval, variables, device_batch
+
+
+def main():
+  import jax
+  import jax.numpy as jnp
+
+  use_bf16 = os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
+  use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+  use_pallas_ffn = os.environ.get("BENCH_PALLAS_FFN", "1") == "1"
+  run_eval, _, _, _ = build_full_eval()
 
   # Warmup / compile.
   checksum = run_eval()
