@@ -69,3 +69,14 @@ def make_batch(expert_dims, b=3, k=2, t=7, l=5, seed=0, vocab=100):
       "features_maxpool": {m: rng.randn(b, d["dim"]).astype(np.float32)
                            for m, d in expert_dims.items()},
   }
+
+
+@pytest.fixture
+def legacy_assembly():
+  """Force the Python sample/collate path for tests that introspect raw
+  sample dicts (with native/libassembler.so present, samples carry
+  descriptors instead of materialized blocks)."""
+  from mmt_tpu.data import native_assembler
+  native_assembler.set_enabled(False)
+  yield
+  native_assembler.set_enabled(None)

@@ -35,7 +35,7 @@ def test_discover_expert_paths(challenge_corpus):
     assert set(paths[e]) == {"fixed_seg", "avg", "max"}
 
 
-def test_challenge_dataset_reads(challenge_corpus):
+def test_challenge_dataset_reads(challenge_corpus, legacy_assembly):
   data_dir, tok = challenge_corpus
   ds = ExpertDataset("MSRVTT", "c", "trainval", str(data_dir), c_dims(),
                      training=False, tokenizer=tok, max_text_words=10,

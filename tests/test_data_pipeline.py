@@ -65,7 +65,7 @@ def test_dataset_splits(corpus):
   assert len(train) >= int(1e6)  # trainer-decided epoch length
 
 
-def test_sample_schema(corpus):
+def test_sample_schema(corpus, legacy_assembly):
   data_dir, tok = corpus
   ds = ExpertDataset("MSRVTT", "jsfusion", "test", str(data_dir), raw_dims(),
                      training=False, tokenizer=tok, max_text_words=12,
@@ -84,7 +84,7 @@ def test_sample_schema(corpus):
   assert s["text_tensors"]["query_masks"][0, 1] == 0
 
 
-def test_eval_determinism(corpus):
+def test_eval_determinism(corpus, legacy_assembly):
   """Eval samples are bit-identical across epochs
   (base/base_dataset.py:101-104 seeded subsampling)."""
   data_dir, tok = corpus
@@ -238,7 +238,7 @@ def test_record_cache_shared_across_loaders(corpus):
   assert ds2.reader.cache.get(vid) is not None
 
 
-def test_cached_samples_identical_to_uncached(corpus):
+def test_cached_samples_identical_to_uncached(corpus, legacy_assembly):
   """The record cache must not change sample contents (eval path is
   bit-deterministic, base/base_dataset.py:101-104)."""
   from mmt_tpu.data import readers as readers_mod
