@@ -226,8 +226,12 @@ class CENet(nn.Module):
     attn_mask = flat_ids[:, :, 1].astype(jnp.int32)
 
     if self.txt_agg_spec.kind == "bert":
-      pos_ids = jnp.broadcast_to(jnp.arange(t)[None, :], (b * k, t))
-      type_ids = jnp.zeros_like(input_ids)
+      # [1, T] (broadcast in the embedding add): constant-per-row id
+      # tensors at batch size materialize a [B*K, T, H] gather per table;
+      # as batch-1 rows the embedded [1, T, H] broadcast-adds fuse into
+      # the embeddings LayerNorm (profiled VMEM-write-bound, docs/PERF.md).
+      pos_ids = jnp.arange(t, dtype=jnp.int32)[None, :]
+      type_ids = jnp.zeros((1, t), dtype=jnp.int32)
       last = self.txt_bert(input_ids, attn_mask, type_ids, pos_ids,
                            deterministic=not train)
       if self.txt_agg_spec.post_agg == "cls":
@@ -397,9 +401,16 @@ class CENet(nn.Module):
     d = self.same_dim
     max_pos = self.vid_cfg.max_position_embeddings - 1
 
+    # Token-type ids are a compile-time constant per config, and position
+    # ids are too except under pos_enc='tint' (temporal-integer positions
+    # read features_t).  Constant id rows are built at batch size 1 so
+    # the embedded [1, S, H] rows broadcast-add into the embeddings
+    # LayerNorm fusion instead of materializing [B*S, H] gathers
+    # (profiled VMEM-write-bound at flagship scale, docs/PERF.md).
+    bt = b if self.pos_enc == "tint" else 1
     feats = [jnp.zeros((b, 1, d), dtype=jnp.float32)]
-    types = [jnp.zeros((b, 1), dtype=jnp.int32)]
-    pos = [jnp.zeros((b, 1), dtype=jnp.int32)]
+    types = [jnp.zeros((1, 1), dtype=jnp.int32)]
+    pos = [jnp.zeros((bt, 1), dtype=jnp.int32)]
     mask = [jnp.ones((b, 1), dtype=jnp.int32)]
 
     tok_map = {}
@@ -418,8 +429,8 @@ class CENet(nn.Module):
         else:
           raise ValueError(f"unknown out_tok {self.out_tok!r}")
         feats.append(agg_feat.astype(jnp.float32))
-        types.append(jnp.full((b, 1), token_type, dtype=jnp.int32))
-        pos.append(jnp.zeros((b, 1), dtype=jnp.int32))
+        types.append(jnp.full((1, 1), token_type, dtype=jnp.int32))
+        pos.append(jnp.zeros((bt, 1), dtype=jnp.int32))
         mask.append(ind[mod][:, None].astype(jnp.int32))
       if self.vid_inp in ("temp", "both", "all"):
         f = temp_feats[mod]
@@ -432,19 +443,18 @@ class CENet(nn.Module):
               "vid_inp='temp' with vid_cont='bert' has no aggregated token "
               "to read the expert embedding from; use 'both' or 'all'")
         if self.pos_enc == "ordr":
-          p = jnp.broadcast_to(jnp.arange(1, n_tok + 1, dtype=jnp.int32)[None],
-                               (b, n_tok))
+          p = jnp.arange(1, n_tok + 1, dtype=jnp.int32)[None]
         elif self.pos_enc == "tint":
           p = jnp.clip(batch["features_t"][mod], 0, max_pos).astype(jnp.int32)
         elif self.pos_enc == "type":
-          p = jnp.ones((b, n_tok), dtype=jnp.int32)
+          p = jnp.ones((1, n_tok), dtype=jnp.int32)
         elif self.pos_enc == "none":
-          p = jnp.zeros((b, n_tok), dtype=jnp.int32)
+          p = jnp.zeros((1, n_tok), dtype=jnp.int32)
         else:
           raise ValueError(f"unknown pos_enc {self.pos_enc!r}")
         tok_id += n_tok
         feats.append(f.astype(jnp.float32))
-        types.append(jnp.full((b, n_tok), token_type, dtype=jnp.int32))
+        types.append(jnp.full((1, n_tok), token_type, dtype=jnp.int32))
         pos.append(p)
         mask.append(batch["features_ind"][mod].astype(jnp.int32))
 
