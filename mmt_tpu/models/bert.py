@@ -191,9 +191,23 @@ class FeatureBert(nn.Module):
                         dtype=self.dtype)(token_type_ids)
     emb = type_emb + features.astype(self.dtype)
     if position_ids is not None:
-      pos_emb = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
+      pos_mod = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
                          embedding_init=emb_init, name="position_embeddings",
-                         dtype=self.dtype)(position_ids)
+                         dtype=self.dtype)
+      if self.dtype == jnp.bfloat16 and position_ids.shape[0] > 1:
+        # Data-dependent ids at batch scale (pos_enc='tint'): the row
+        # gather materializes VMEM-write-bound; a one-hot matmul over
+        # the tiny table is bitwise-identical in bf16 (one-hot rows
+        # select exact table entries; fp32 accumulation of one term)
+        # and ~11% faster on the MXU (docs/PERF.md round-3 microbench).
+        table = pos_mod(jnp.arange(cfg.max_position_embeddings))
+        one_hot = jax.nn.one_hot(position_ids, cfg.max_position_embeddings,
+                                 dtype=self.dtype)
+        pos_emb = jnp.einsum(
+            "bsv,vh->bsh", one_hot, table,
+            preferred_element_type=jnp.float32).astype(self.dtype)
+      else:
+        pos_emb = pos_mod(position_ids)
       emb = emb + pos_emb
     else:
       # Keep the table in the param tree for checkpoint-shape stability.
