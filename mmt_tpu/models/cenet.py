@@ -309,6 +309,7 @@ class CENet(nn.Module):
         if hasattr(self, "video_dim_reduce") else {}
 
     mnp_experts, maxp_experts = {}, {}
+    avg = mxp = None
     if self.vid_inp in ("agg", "both", "all"):
       # Ragged expert dims: zero-padded batched einsum over all M
       # reducers at once (exact; components.py:batched_reduce_dim_ragged)
@@ -344,8 +345,8 @@ class CENet(nn.Module):
     vid_embd = None
 
     if self.vid_cont == "bert":
-      seq = self._assemble_video_sequence(batch, b, ind, mnp_experts,
-                                          maxp_experts, temp_feats)
+      seq = self._assemble_video_sequence(batch, b, ind, avg, mxp,
+                                          temp_feats)
       last = self.vid_bert(seq["features"], seq["attention_mask"],
                            seq["token_type_ids"], seq["position_ids"],
                            deterministic=not train)
@@ -394,9 +395,14 @@ class CENet(nn.Module):
     }
 
   # ------------------------------------------------------------------
-  def _assemble_video_sequence(self, batch, b, ind, mnp_experts,
-                               maxp_experts, temp_feats):
-    """Static-shape token assembly (model/model.py:485-567 semantics)."""
+  def _assemble_video_sequence(self, batch, b, ind, mnp_stack, maxp_stack,
+                               temp_feats):
+    """Static-shape token assembly (model/model.py:485-567 semantics).
+
+    ``mnp_stack``/``maxp_stack`` are the pooled per-modality projections
+    already stacked [B, M, D] (from the batched reducers in
+    ``embed_video``) so the agg-token block is used as-is instead of
+    being re-stacked from per-modality slices."""
     mods = self.modalities
     d = self.same_dim
     max_pos = self.vid_cfg.max_position_embeddings - 1
@@ -407,6 +413,16 @@ class CENet(nn.Module):
     # the embedded [1, S, H] rows broadcast-add into the embeddings
     # LayerNorm fusion instead of materializing [B*S, H] gathers
     # (profiled VMEM-write-bound at flagship scale, docs/PERF.md).
+    #
+    # Token ORDER is [CLS, agg x M, temporal x M x L] — grouped, not the
+    # reference's per-modality interleave (model/model.py:485-567).  The
+    # transformer is permutation-equivariant given per-token type /
+    # position / mask (all carried here), so grouped order is
+    # semantically identical; it turns the feature assembly from 2M+1
+    # concat pieces (M of them single-row, profiled VMEM-write-bound at
+    # 1.56 ms/run on the flagship eval, docs/PERF.md) into M+2
+    # well-shaped pieces, and makes the per-modality aggregated-token
+    # reads one contiguous slice (tokens 1..M).
     bt = b if self.pos_enc == "tint" else 1
     feats = [jnp.zeros((b, 1, d), dtype=jnp.float32)]
     types = [jnp.zeros((1, 1), dtype=jnp.int32)]
@@ -415,33 +431,37 @@ class CENet(nn.Module):
 
     tok_map = {}
     tok_id = 0
-    for mod in mods:
-      token_type = int(self.expert_dims[mod]["idx"])
-      if self.vid_inp in ("agg", "both", "all"):
+    if self.vid_inp in ("agg", "both", "all"):
+      for mod in mods:
         tok_id += 1
         tok_map[mod] = tok_id
-        if self.out_tok == "sep":
-          agg_feat = jnp.zeros((b, 1, d), dtype=jnp.float32)
-        elif self.out_tok == "mxp":
-          agg_feat = maxp_experts[mod][:, None, :]
-        elif self.out_tok == "mnp":
-          agg_feat = mnp_experts[mod][:, None, :]
-        else:
-          raise ValueError(f"unknown out_tok {self.out_tok!r}")
-        feats.append(agg_feat.astype(jnp.float32))
-        types.append(jnp.full((1, 1), token_type, dtype=jnp.int32))
-        pos.append(jnp.zeros((bt, 1), dtype=jnp.int32))
-        mask.append(ind[mod][:, None].astype(jnp.int32))
-      if self.vid_inp in ("temp", "both", "all"):
+      if self.out_tok == "sep":
+        agg_feat = jnp.zeros((b, len(mods), d), dtype=jnp.float32)
+      elif self.out_tok == "mxp":
+        agg_feat = maxp_stack
+      elif self.out_tok == "mnp":
+        agg_feat = mnp_stack
+      else:
+        raise ValueError(f"unknown out_tok {self.out_tok!r}")
+      feats.append(agg_feat.astype(jnp.float32))
+      types.append(jnp.asarray(
+          [[int(self.expert_dims[mod]["idx"]) for mod in mods]],
+          dtype=jnp.int32))
+      pos.append(jnp.zeros((bt, len(mods)), dtype=jnp.int32))
+      mask.append(jnp.stack(
+          [ind[mod] for mod in mods], axis=1).astype(jnp.int32))
+    if self.vid_inp in ("temp", "both", "all"):
+      if not tok_map:
+        # vid_inp='temp': aggregate over the modality's own tokens is not
+        # defined in the reference either (model/model.py:586-587 would
+        # KeyError); surface a clear error instead.
+        raise ValueError(
+            "vid_inp='temp' with vid_cont='bert' has no aggregated token "
+            "to read the expert embedding from; use 'both' or 'all'")
+      for mod in mods:
         f = temp_feats[mod]
         n_tok = f.shape[1]
-        if mod not in tok_map:
-          # vid_inp='temp': aggregate over the modality's own tokens is not
-          # defined in the reference either (model/model.py:586-587 would
-          # KeyError); surface a clear error instead.
-          raise ValueError(
-              "vid_inp='temp' with vid_cont='bert' has no aggregated token "
-              "to read the expert embedding from; use 'both' or 'all'")
+        token_type = int(self.expert_dims[mod]["idx"])
         if self.pos_enc == "ordr":
           p = jnp.arange(1, n_tok + 1, dtype=jnp.int32)[None]
         elif self.pos_enc == "tint":
