@@ -30,19 +30,11 @@ REPS = int(os.environ.get("BENCH_REPS", "5"))
 BASELINE_VIDEOS_PER_SEC_PER_CHIP = 250.0
 
 
-def build_full_eval():
-  """Build the fused 1k x 1k eval exactly as the benchmark runs it.
-
-  Returns (run_eval, full_eval, variables, device_batch): run_eval() is
-  the dispatch+sync closure main() times; full_eval is the underlying
-  jitted program (shared with scripts/profile_eval.py so profiles
-  measure the SAME program the benchmark reports).
-  """
-  import jax
-  import jax.numpy as jnp
-
+def _staged_flagship(jax, jnp):
+  """Flagship model + the staged n_chunks x BATCH device inputs shared by
+  the single-dispatch and streaming benchmarks."""
   from __graft_entry__ import _flagship_model_and_batch
-  from mmt_tpu.ops import ffn, ranking, similarity
+  from mmt_tpu.ops import ffn, similarity
 
   use_bf16 = os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
   use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
@@ -93,6 +85,23 @@ def build_full_eval():
     for key in ("features", "features_avgpool", "features_maxpool"):
       device_batch[key] = {m: v.astype(jnp.bfloat16)
                            for m, v in device_batch[key].items()}
+  return model, variables, device_batch
+
+
+def build_full_eval():
+  """Build the fused 1k x 1k eval exactly as the benchmark runs it.
+
+  Returns (run_eval, full_eval, variables, device_batch): run_eval() is
+  the dispatch+sync closure main() times; full_eval is the underlying
+  jitted program (shared with scripts/profile_eval.py so profiles
+  measure the SAME program the benchmark reports).
+  """
+  import jax
+  import jax.numpy as jnp
+
+  from mmt_tpu.ops import ranking, similarity
+
+  model, variables, device_batch = _staged_flagship(jax, jnp)
 
   @jax.jit
   def full_eval(variables, sb):
@@ -115,6 +124,62 @@ def build_full_eval():
     return float(full_eval(variables, device_batch))
 
   return run_eval, full_eval, variables, device_batch
+
+
+def build_streaming_eval():
+  """Large-corpus eval: embeddings accumulate on device, no sims matrix.
+
+  The single-dispatch protocol above materializes every input feature on
+  HBM (~25 GB at 20k videos — OOM); production-scale corpora instead
+  stream through the embed program in 1k-video passes (dispatches
+  pipeline, so pass boundaries cost nothing) and rank straight from the
+  accumulated embeddings via the fused no-matrix kernel
+  (mmt_tpu/ops/ranking.py:fused_t2v_ranks) — the [Q, V] matrix at 100k
+  would be 40 GB fp32 and is never built.  Each pass perturbs the staged
+  features by a per-pass salt ON DEVICE (one fused elementwise add), so
+  all N videos are distinct without re-staging inputs over the tunnel.
+
+  Returns run(n_videos) -> wall seconds.
+  """
+  import jax
+  import jax.numpy as jnp
+
+  from mmt_tpu.ops import ranking
+
+  model, variables, device_batch = _staged_flagship(jax, jnp)
+
+  @jax.jit
+  def embed_pass(variables, sb, salt):
+    def body(carry, b):
+      b = dict(b)
+      b["features"] = {m: v + salt.astype(v.dtype)
+                       for m, v in b["features"].items()}
+      out = model.apply(variables, b, train=False)
+      bb, k, m, d = out["text_embds"].shape
+      return carry, (out["text_embds"].reshape(bb * k, m, d),
+                     out["vid_embds"],
+                     out["text_weights"].reshape(bb * k, m),
+                     out["vid_weights"])
+    _, parts = jax.lax.scan(body, 0, sb)
+    return tuple(p.reshape((-1,) + p.shape[2:]) for p in parts)
+
+  rank_sum = jax.jit(
+      lambda te, ve, tw, vw:
+      ranking.t2v_ranks_from_embeddings(te, ve, tw, vw).sum())
+
+  def run(n_videos):
+    assert n_videos % N_VIDEOS == 0, (n_videos, N_VIDEOS)
+    passes = n_videos // N_VIDEOS
+    tic = time.perf_counter()
+    parts = [embed_pass(variables, device_batch,
+                        jnp.float32(0.001 * (p + 1)))
+             for p in range(passes)]
+    te, ve, tw, vw = (jnp.concatenate([p[i] for p in parts], 0)
+                      for i in range(4))
+    float(rank_sum(te, ve, tw, vw))  # host read = completion barrier
+    return time.perf_counter() - tic
+
+  return run
 
 
 def main():
@@ -149,6 +214,18 @@ def main():
   if os.environ.get("BENCH_TRAIN", "1") == "1":
     train_step_ms = _bench_train_step(jax, jnp)
 
+  # BENCH_LARGE=<N>: streaming eval at corpus scale (N videos, N
+  # captions).  Off by default — the driver's headline run stays fast.
+  streaming = None
+  n_large = int(os.environ.get("BENCH_LARGE", "0"))
+  if n_large:
+    run_large = build_streaming_eval()
+    run_large(N_VIDEOS)  # compile both programs at full-corpus shape...
+    run_large(n_large)   # ...then once at n_large (the ranking shape)
+    wall = min(run_large(n_large) for _ in range(3))
+    streaming = {"n_videos": n_large, "wall_s": round(wall, 3),
+                 "videos_per_sec_per_chip": round(n_large / wall, 1)}
+
   # Device-only view: the tunnel's dispatch+sync RTT is a fixed
   # environmental cost a local runtime would not pay.
   device_latency = max(latency - rtt, 1e-9)
@@ -173,6 +250,8 @@ def main():
     result[f"train_step_ms_b{train_bs}"] = round(train_step_ms, 2)
     result["train_samples_per_sec_per_chip"] = round(
         train_bs * 1000 / train_step_ms, 1)
+  if streaming is not None:
+    result["streaming_eval"] = streaming
   print(json.dumps(result))
 
 

@@ -142,7 +142,8 @@ def _round_up(x, m):
 # shipping a kernel that cannot compile.  bf16 routing is unchanged from
 # the measured PERF.md configuration (512 / 256 eval, 512 / 128 train).
 # ---------------------------------------------------------------------------
-_VMEM_LIMIT = 16 * 1024 * 1024
+_VMEM_LIMIT = int(os.environ.get("MMT_TPU_FFN_VMEM_KIB",
+                                 str(16 * 1024))) * 1024
 
 
 def _eval_vmem(tile, h, i, itemsize):
@@ -267,6 +268,7 @@ def _pallas_ffn_2d(x, w1, b1, w2, b2, gamma, beta, *, eps, compute_dtype,
       out_shape=jax.ShapeDtypeStruct((r, h), jnp.float32),
       compiler_params=pltpu.CompilerParams(
           dimension_semantics=("arbitrary",),
+          vmem_limit_bytes=_VMEM_LIMIT,
       ),
       cost_estimate=pl.CostEstimate(
           flops=4 * r * h * i,
@@ -417,7 +419,8 @@ def _pallas_ffn_train_fwd(x, drop, w1, b1, w2, b2, gamma, beta, *, eps,
                  jax.ShapeDtypeStruct((r, i), compute_dtype),
                  jax.ShapeDtypeStruct((r, h), compute_dtype)),
       compiler_params=pltpu.CompilerParams(
-          dimension_semantics=("arbitrary",)),
+          dimension_semantics=("arbitrary",),
+          vmem_limit_bytes=_VMEM_LIMIT),
       cost_estimate=pl.CostEstimate(
           flops=4 * r * h * i,
           bytes_accessed=(8 * r * h + 2 * h * i * 2 + 4 * r * h
@@ -451,7 +454,8 @@ def _pallas_ffn_train_bwd(dy, z, inter, drop, w1, w2, gamma, *, eps,
                  jax.ShapeDtypeStruct((r, h), compute_dtype),
                  jax.ShapeDtypeStruct((r, i), compute_dtype)),
       compiler_params=pltpu.CompilerParams(
-          dimension_semantics=("arbitrary",)),
+          dimension_semantics=("arbitrary",),
+          vmem_limit_bytes=_VMEM_LIMIT),
       cost_estimate=pl.CostEstimate(
           flops=4 * r * h * i,
           bytes_accessed=(12 * r * h + 2 * h * i * 2

@@ -13,8 +13,12 @@ MoE similarity + an on-device top-k.
 from __future__ import annotations
 
 import dataclasses
+import http.server
+import json
 import logging
 import pathlib
+import threading
+import urllib.parse
 from typing import Dict, List, Sequence
 
 import jax
@@ -173,3 +177,109 @@ class RetrievalEngine:
                      "rank": rank})
       results.append(hits)
     return results
+
+
+# ---------------------------------------------------------------------------
+# HTTP serving.  Beyond the reference's surface (no serving story there);
+# a deliberately dependency-free JSON endpoint over RetrievalEngine:
+#
+#   GET  /healthz                          -> {"ok": true, "videos": N}
+#   GET  /search?q=<text>[&q=...][&topk=K] -> {"results": [[hit, ...], ...]}
+#   POST /search  {"queries": [...], "topk": K}  (same response shape)
+#
+# Handler threads serialize on one lock around the jitted query: the
+# TPU dispatch path is single-stream (and the tunnel serves one program
+# at a time), so concurrency buys batching at the client, not here —
+# send multiple q= terms / queries entries per request to batch.
+# ---------------------------------------------------------------------------
+
+
+class _RetrievalHandler(http.server.BaseHTTPRequestHandler):
+  engine: "RetrievalEngine" = None  # type: ignore[assignment]
+  lock: threading.Lock = None       # type: ignore[assignment]
+  max_queries = 256
+
+  def _reply(self, code: int, payload: Dict) -> None:
+    blob = json.dumps(payload).encode("utf-8")
+    self.send_response(code)
+    self.send_header("Content-Type", "application/json")
+    self.send_header("Content-Length", str(len(blob)))
+    self.end_headers()
+    self.wfile.write(blob)
+
+  def _search(self, queries: List[str], topk: int) -> None:
+    if not queries:
+      self._reply(400, {"error": "no queries given"})
+      return
+    if len(queries) > self.max_queries:
+      self._reply(400, {"error": f"max {self.max_queries} queries/request"})
+      return
+    if not all(isinstance(q, str) and q.strip() for q in queries):
+      self._reply(400, {"error": "queries must be non-empty strings"})
+      return
+    topk = max(1, min(int(topk), len(self.engine.index)))
+    with self.lock:
+      results = self.engine.search(queries, topk=topk)
+    self._reply(200, {"results": results})
+
+  def do_GET(self):  # noqa: N802 (stdlib API name)
+    url = urllib.parse.urlparse(self.path)
+    if url.path == "/healthz":
+      self._reply(200, {"ok": True, "videos": len(self.engine.index)})
+      return
+    if url.path == "/search":
+      qs = urllib.parse.parse_qs(url.query)
+      try:
+        topk = int(qs.get("topk", ["5"])[0])
+      except ValueError:
+        self._reply(400, {"error": "topk must be an integer"})
+        return
+      self._search(qs.get("q", []), topk)
+      return
+    self._reply(404, {"error": f"unknown path {url.path!r}"})
+
+  def do_POST(self):  # noqa: N802
+    url = urllib.parse.urlparse(self.path)
+    if url.path != "/search":
+      self._reply(404, {"error": f"unknown path {url.path!r}"})
+      return
+    try:
+      length = int(self.headers.get("Content-Length", "0"))
+      body = json.loads(self.rfile.read(length) or b"{}")
+      queries = body.get("queries", [])
+      topk = int(body.get("topk", 5))
+    except (ValueError, json.JSONDecodeError) as exc:
+      self._reply(400, {"error": f"bad request body: {exc}"})
+      return
+    if not isinstance(queries, list):
+      self._reply(400, {"error": "'queries' must be a list of strings"})
+      return
+    self._search(queries, topk)
+
+  def log_message(self, fmt, *args):  # route to logging, not stderr
+    logger.info("%s - %s", self.address_string(), fmt % args)
+
+
+def serve_http(engine: RetrievalEngine, host: str = "127.0.0.1",
+               port: int = 8080, block: bool = True):
+  """Serve ``engine`` over HTTP.  ``block=False`` starts a daemon thread
+  and returns the ``ThreadingHTTPServer`` (tests: call ``.shutdown()``);
+  the bound port is ``server.server_address[1]`` (pass ``port=0`` for an
+  ephemeral one)."""
+  handler = type("BoundHandler", (_RetrievalHandler,),
+                 {"engine": engine, "lock": threading.Lock()})
+  server = http.server.ThreadingHTTPServer((host, port), handler)
+  logger.info("serving retrieval API on http://%s:%d (index: %d videos)",
+              server.server_address[0], server.server_address[1],
+              len(engine.index))
+  if not block:
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server
+  try:
+    server.serve_forever()
+  except KeyboardInterrupt:
+    pass
+  finally:
+    server.server_close()
+  return server

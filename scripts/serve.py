@@ -8,6 +8,9 @@ answer text queries.
   # query
   python scripts/serve.py --config <cfg> --checkpoint <msgpack> \
       --index index.msgpack --query "a man cooking pasta" [--topk 5]
+  # HTTP daemon (GET /healthz, GET/POST /search)
+  python scripts/serve.py --config <cfg> --checkpoint <msgpack> \
+      --index index.msgpack --listen 8080
 """
 
 from __future__ import annotations
@@ -73,6 +76,11 @@ def main(argv=None):
   parser.add_argument("--shard_index", action="store_true",
                       help="shard the index across the device mesh (corpus "
                            "scales with aggregate HBM; see serving.py)")
+  parser.add_argument("--listen", type=int, default=None, metavar="PORT",
+                      help="serve a JSON HTTP API (GET/POST /search, "
+                           "GET /healthz) instead of answering --query once")
+  parser.add_argument("--host", default="127.0.0.1",
+                      help="bind address for --listen (default loopback)")
   args = parser.parse_args(argv)
   logging.basicConfig(level=logging.INFO, format="%(message)s")
 
@@ -98,6 +106,13 @@ def main(argv=None):
     mesh = mesh_lib.data_mesh()
   engine = RetrievalEngine(model, variables, tokenizer, index,
                            max_text_words=max_words, mesh=mesh)
+  if args.listen is not None:
+    from mmt_tpu.serving import serve_http
+    if args.query:
+      # Warm the jitted query path before accepting traffic.
+      engine.search(args.query[:1], topk=1)
+    serve_http(engine, host=args.host, port=args.listen)
+    return
   for query, hits in zip(args.query, engine.search(args.query, args.topk)):
     print(json.dumps({"query": query, "hits": hits}))
 

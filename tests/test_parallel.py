@@ -258,21 +258,68 @@ def test_two_process_full_trainer_matches_single_process(tmp_path):
     np.testing.assert_allclose(f2[key], f1[key], rtol=1e-4, atol=1e-6,
                                err_msg=key)
 
-  # Written state matches across topologies.
+  # Written state matches across topologies.  Degenerate-gradient leaves
+  # are compared separately: the attention key bias (softmax shift
+  # invariance) and a Dense bias feeding BatchNorm (mean subtraction)
+  # have mathematically ZERO gradient, so Adam normalizes their
+  # numerical-noise gradients into ±lr-scale random walks — and the
+  # noise differs between gloo and intra-process collectives.  Two
+  # independent walks over 4 steps at lr=1e-3 can differ by up to
+  # ~8e-3, so a tight global atol is a coin flip (one element of 48 hit
+  # 1.03e-3 once); they get the walk-scale bound BY NAME and everything
+  # else stays tight.
   s2 = ckpt_lib.load_checkpoint_raw(exp2 / "trained_model.msgpack")
   s1 = ckpt_lib.load_checkpoint_raw(exp1 / "trained_model.msgpack")
-  leaves2 = jax.tree_util.tree_leaves(s2["params"])
-  leaves1 = jax.tree_util.tree_leaves(s1["params"])
-  assert len(leaves2) == len(leaves1)
-  # atol=1e-3 covers the degenerate-gradient leaves: a Dense bias feeding
-  # BatchNorm and the attention key bias have mathematically ZERO
-  # gradient (BN mean-subtraction / softmax shift invariance), so Adam
-  # normalizes their numerical-noise gradients into ±lr-scale random
-  # walks — and the noise differs between gloo and intra-process
-  # collectives.  Real parameters (|w| >= 1e-2) are still held to rtol.
-  for a, b in zip(leaves2, leaves1):
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                               rtol=2e-4, atol=1e-3)
+
+  def degenerate_bias_paths(params):
+    """Paths of zero-gradient biases: */key/bias (attention keys) and
+    */fc/bias where a sibling BatchNorm consumes fc's output
+    (components.py ContextGating/ContextGatingReasoning)."""
+    out = set()
+    def walk(node, path):
+      if not isinstance(node, dict):
+        return
+      for k, v in node.items():
+        walk(v, path + (k,))
+      if "key" in node and isinstance(node["key"], dict) \
+         and "bias" in node["key"]:
+        out.add(path + ("key", "bias"))
+      if "fc" in node and isinstance(node["fc"], dict) \
+         and "bias" in node["fc"] \
+         and ("batch_norm" in node or "batch_norm2" in node):
+        out.add(path + ("fc", "bias"))
+    walk(params, ())
+    return out
+
+  degen = degenerate_bias_paths(s1["params"])
+  assert degen, "expected degenerate leaves in this architecture"
+
+  def flat_with_paths(params):
+    out = {}
+    def walk(node, path):
+      if isinstance(node, dict):
+        for k, v in node.items():
+          walk(v, path + (k,))
+      else:
+        out[path] = np.asarray(node)
+    walk(params, ())
+    return out
+
+  p2, p1 = flat_with_paths(s2["params"]), flat_with_paths(s1["params"])
+  assert set(p2) == set(p1) and p1
+  n_walked = 0
+  for path in sorted(p1):
+    if path in degen:
+      np.testing.assert_allclose(p2[path], p1[path], rtol=0, atol=1e-2,
+                                 err_msg=f"degenerate {'/'.join(path)}")
+      n_walked += 1
+    else:
+      # atol=1e-3 still covers SOFT invariances (e.g. an embedding-table
+      # row's all-ones component, which the embeddings LayerNorm removes
+      # — a 1-D noise walk spread over sqrt(H) elements).
+      np.testing.assert_allclose(p2[path], p1[path], rtol=2e-4, atol=1e-3,
+                                 err_msg="/".join(path))
+  assert n_walked == len(degen)
 
   # Single-writer invariant: artifacts exist once, from process 0.
   for fname in ("exp_results.json", "exp_completed_flag.txt",

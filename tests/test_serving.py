@@ -95,6 +95,66 @@ def test_serve_cli(served):
   assert len(result["hits"]) == 3
 
 
+def test_http_api(served):
+  """serve_http answers /healthz and /search (GET and POST) with the
+  same hits as engine.search, and rejects malformed requests."""
+  import urllib.error
+  import urllib.parse
+  import urllib.request
+
+  from mmt_tpu.serving import RetrievalEngine, RetrievalIndex, serve_http
+  root, cfg_path, trainer = served
+
+  entry = trainer.data_loaders["final_eval_sets"][0]
+  variables = {"params": trainer.params, "batch_stats": trainer.batch_stats}
+  index = RetrievalIndex.build(trainer.model, variables, entry["loader"],
+                               dataset=entry["dataset"].datasets[0])
+  engine = RetrievalEngine(trainer.model, variables, trainer.tokenizer,
+                           index, max_text_words=12)
+  server = serve_http(engine, port=0, block=False)
+  base = f"http://127.0.0.1:{server.server_address[1]}"
+  try:
+    with urllib.request.urlopen(f"{base}/healthz", timeout=30) as resp:
+      health = json.loads(resp.read())
+    assert health == {"ok": True, "videos": len(index)}
+
+    queries = ["a video of cooking", "a video of soccer"]
+    want = engine.search(queries, topk=3)
+
+    q = "&".join("q=" + urllib.parse.quote(s) for s in queries)
+    with urllib.request.urlopen(f"{base}/search?{q}&topk=3",
+                                timeout=120) as resp:
+      got_get = json.loads(resp.read())["results"]
+    assert got_get == want
+
+    body = json.dumps({"queries": queries, "topk": 3}).encode()
+    req = urllib.request.Request(
+        f"{base}/search", data=body,
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as resp:
+      got_post = json.loads(resp.read())["results"]
+    assert got_post == want
+
+    # topk beyond the index is clamped, not an error
+    with urllib.request.urlopen(f"{base}/search?q=cooking&topk=99",
+                                timeout=120) as resp:
+      clamped = json.loads(resp.read())["results"]
+    assert len(clamped[0]) == len(index)
+
+    for bad in (f"{base}/search",                 # no queries
+                f"{base}/search?q=x&topk=abc",    # non-integer topk
+                f"{base}/nope"):                  # unknown path
+      with pytest.raises(urllib.error.HTTPError):
+        urllib.request.urlopen(bad, timeout=30)
+    req = urllib.request.Request(f"{base}/search", data=b"not json",
+                                 headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError):
+      urllib.request.urlopen(req, timeout=30)
+  finally:
+    server.shutdown()
+    server.server_close()
+
+
 def test_sharded_index_matches_unsharded(served):
   """Index sharded over the 8-device data mesh returns the same hits as
   the single-device engine (GSPMD shard-local matmuls + top-k merge)."""
