@@ -124,6 +124,7 @@ class Config:
     self._raw = raw
     self.resume = resume          # checkpoint path to load, or None
     self.only_eval = only_eval
+    self.txt_bert_init = None     # CLI --txt_bert_init (set by from_args)
 
     if "exp_name" in raw:
       self.exper_name = raw["exp_name"]
@@ -221,6 +222,7 @@ def from_args(args, primary: bool = True) -> Config:
                config_path=cfg_fname,
                resume=resume,
                only_eval=bool(getattr(args, "only_eval", False)))
+  cfg.txt_bert_init = getattr(args, "txt_bert_init", None)
   cfg.prepare_dirs()
   if primary:
     cfg.dump()

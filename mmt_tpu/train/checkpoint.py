@@ -165,20 +165,27 @@ def match_checkpoint_to_model(loaded_params, target_params):
   return loaded_params
 
 
-def merge_params(target, loaded, path=""):
+def merge_params(target, loaded, path="", stats=None):
   """Non-strict merge: copy loaded leaves whose path+shape match target
-  (torch load_state_dict(strict=False) semantics for warm starts)."""
+  (torch load_state_dict(strict=False) semantics for warm starts).
+
+  ``stats`` (optional dict) gets ``stats["matched"]`` incremented per
+  successfully copied leaf — callers that must fail loudly on a
+  nothing-matched load (e.g. txt_bert_init) check it afterwards.
+  """
   if isinstance(target, dict):
     out = {}
     for key, tgt_val in target.items():
       if isinstance(loaded, dict) and key in loaded:
-        out[key] = merge_params(tgt_val, loaded[key], f"{path}/{key}")
+        out[key] = merge_params(tgt_val, loaded[key], f"{path}/{key}", stats)
       else:
         logger.warning("warm start: missing %s/%s (kept init)", path, key)
         out[key] = tgt_val
     return out
   loaded_arr = np.asarray(loaded)
   if hasattr(target, "shape") and loaded_arr.shape == target.shape:
+    if stats is not None:
+      stats["matched"] = stats.get("matched", 0) + 1
     return loaded_arr.astype(np.asarray(target).dtype)
   logger.warning("warm start: shape mismatch at %s (%s vs %s; kept init)",
                  path, getattr(loaded_arr, "shape", None),

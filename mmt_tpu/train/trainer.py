@@ -106,7 +106,7 @@ class Trainer:
                skip_first_n_saves=0, include_optim_in_ckpts=False,
                expert_dims=None, num_keep_ckpts=1, tokenizer=None,
                warmup_iterations=-1, init_rng=None, use_mesh=True,
-               device_metrics=True):
+               device_metrics=True, txt_bert_init=None):
     # Multi-process topology: every process runs the identical program in
     # lockstep (loaders are deterministic, metrics are computed from
     # replicated eval outputs everywhere so control flow like early
@@ -227,6 +227,13 @@ class Trainer:
     self.rng = init_rng if init_rng is not None else jax.random.PRNGKey(
         config.seed if hasattr(config, "seed") else 0)
     self._init_state()
+
+    # Pretrained text-tower init BEFORE any checkpoint load: the
+    # reference constructs txt_bert via from_pretrained and then
+    # load_state_dict overrides it (model/model.py:161-162), so a resume
+    # or warm start must win over this init.
+    if txt_bert_init is not None:
+      self._load_txt_bert_init(txt_bert_init)
 
     self._train_step_fn = None
     self._embed_step_fn = None
@@ -857,6 +864,37 @@ class Trainer:
         self._state_dict())
     self._ckpt_writer.save(self.exp_dir, host_state, epoch,
                            save_best=save_best)
+
+  def _load_txt_bert_init(self, path):
+    """Initialize the text tower from converted pretrained BERT weights.
+
+    Mirrors the reference's unconditional ``from_pretrained`` for
+    bertftn/bertfrz text towers (model/model.py:150-162): the tree from
+    scripts/convert_hf_bert.py is merged non-strictly into
+    params['txt_bert'] (geometry mismatches keep the random init,
+    loudly), BEFORE any resume/warm-start so a checkpoint still wins.
+    A load where no leaf matches is an error, not a silent no-op.
+    """
+    logger.info("Initializing txt_bert from %s", path)
+    raw = ckpt_lib.load_checkpoint_raw(str(path))
+    tree = raw.get("params", raw)
+    if isinstance(tree, dict) and "txt_bert" in tree:
+      tree = tree["txt_bert"]
+    if "txt_bert" not in self.params:
+      logger.warning("txt_bert_init given but the model has no txt_bert "
+                     "tower; ignored")
+      return
+    stats = {}
+    self.params["txt_bert"] = ckpt_lib.merge_params(
+        self.params["txt_bert"], tree, path="txt_bert", stats=stats)
+    n_target = len(jax.tree_util.tree_leaves(self.params["txt_bert"]))
+    if not stats.get("matched"):
+      raise ValueError(
+          f"txt_bert_init {path}: no leaf matched the model's txt_bert "
+          f"tree — wrong geometry or a stale converter output "
+          f"(re-run scripts/convert_hf_bert.py)")
+    logger.info("txt_bert init: %d/%d leaves loaded from %s",
+                stats["matched"], n_target, path)
 
   def _resume_checkpoint(self, resume_path):
     resume_path = str(resume_path)

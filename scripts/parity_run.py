@@ -142,8 +142,21 @@ def check_assets(args, verbose=True):
   note("MSRVTT expert features", data_root if has_feats else None,
        f"place under {data_root} (layout: docs/DATA.md)")
 
+  # Pretrained text-BERT init (scripts/convert_hf_bert.py output).  The
+  # eval parity run loads a full .pth (txt_bert included), so this is
+  # OPTIONAL for --run — but TRAINING parity (from-scratch reproduction,
+  # reference model/model.py:161-162 from_pretrained) requires it.
+  init = DATA / "txt_bert_init.msgpack"
+  status = "OK " if init.is_file() else "OPT"
+  if verbose:
+    print(f"  [{status}] txt_bert pretrained init (training parity only): "
+          f"{init if init.is_file() else f'convert with scripts/convert_hf_bert.py -> {init}'}")
+  found["txt_bert_init"] = init if init.is_file() else None
+
   # Hash verification / pinning for the file assets.
   for name, path in (("bert-base-cased-vocab.txt", vocab),
+                     ("txt_bert_init.msgpack",
+                      init if init.is_file() else None),
                      (ckpt.name if ckpt else "",
                       ckpt if ckpt and ckpt.is_file() else None)):
     if not path:
@@ -160,7 +173,8 @@ def check_assets(args, verbose=True):
   if args.pin:
     save_manifest(manifest)
   return ok, {"vocab": vocab, "checkpoint": ckpt if ckpt.is_file() else None,
-              "data_root": data_root if has_feats else None}
+              "data_root": data_root if has_feats else None,
+              "txt_bert_init": init if init.is_file() else None}
 
 
 def _rewrite_config(config_path, data_root, out_dir) -> pathlib.Path:

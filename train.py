@@ -22,6 +22,14 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
+# Default location of converted pretrained text-BERT weights
+# (scripts/convert_hf_bert.py output); auto-loaded for bertftn/bertfrz
+# stock-geometry runs, mirroring the reference's from_pretrained
+# (model/model.py:150-162).
+TXT_BERT_INIT_DEFAULT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data",
+    "txt_bert_init.msgpack")
+
 
 def build_data_loaders(config, expert_dims, tokenizer):
   from mmt_tpu.registry import build
@@ -73,6 +81,44 @@ def frozen_param_mask(params, txt_agg: str, txt_inp: str):
       lambda path, _: is_frozen(path), params)
 
 
+def resolve_txt_bert_init(config, arch_value, txt_agg, custom_geometry=False):
+  """Locate pretrained text-BERT init weights for bertftn/bertfrz runs.
+
+  The reference ALWAYS builds those text towers from pretrained
+  bert-base-cased (model/model.py:150-162); here the converted weights
+  (scripts/convert_hf_bert.py) are resolved in priority order:
+  CLI --txt_bert_init > MMT_TPU_TXT_BERT_INIT env > arch.args
+  "txt_bert_init" > the default asset data/txt_bert_init.msgpack (if
+  present).  'bertscr' towers stay random, as in the reference.
+  Returns a path or None.
+  """
+  from mmt_tpu.config import TxtAggSpec
+
+  spec = TxtAggSpec.parse(txt_agg) if txt_agg[:4] == "bert" else None
+  explicit = (getattr(config, "txt_bert_init", None)
+              or os.environ.get("MMT_TPU_TXT_BERT_INIT") or arch_value)
+  if explicit:
+    if not os.path.isfile(explicit):
+      raise FileNotFoundError(f"txt_bert_init not found: {explicit}")
+    return explicit
+  if spec is None or spec.state not in ("ftn", "frz"):
+    return None
+  if custom_geometry:
+    # The default asset is bert-base-cased; a model with an overridden
+    # text_bert_geometry can't load it — only an explicit path applies.
+    return None
+  default = TXT_BERT_INIT_DEFAULT
+  if os.path.isfile(default):
+    return default
+  if config.resume is None:
+    logger.warning(
+        "txt_agg=%s: no pretrained text-BERT weights found — txt_bert is "
+        "RANDOMLY initialized (the reference always starts from pretrained "
+        "bert-base-cased).  Convert them once with scripts/convert_hf_bert.py "
+        "(default output %s) or pass --txt_bert_init.", txt_agg, default)
+  return None
+
+
 def train(config):
   import jax
 
@@ -110,6 +156,10 @@ def train(config):
 
   model_kwargs = {k: v for k, v in arch_args.items()
                   if k not in ("vocab_size",)}
+  txt_bert_init = resolve_txt_bert_init(
+      config, model_kwargs.pop("txt_bert_init", None),
+      arch_args.get("txt_agg", "bertftn"),
+      custom_geometry=bool(arch_args.get("text_bert_geometry")))
   # TPU extension knob (not in the reference config surface): arch.args
   # "compute_dtype": "bfloat16" runs the BERT towers' matmuls in bf16
   # (LN/softmax/heads stay fp32 — models/cenet.py:76,256).  Default fp32
@@ -155,7 +205,8 @@ def train(config):
       num_keep_ckpts=config["trainer"].get("num_keep_ckpts", 1),
       tokenizer=tokenizer,
       warmup_iterations=config["trainer"].get("warmup_iterations", -1),
-      init_rng=jax.random.PRNGKey(seed))
+      init_rng=jax.random.PRNGKey(seed),
+      txt_bert_init=txt_bert_init)
 
   # Pretrained word-embedding table for the wo2v/grvl text path
   # (TxtEmbeddings.from_pretrained semantics, model/txt_embeddings.py:33-46).
@@ -186,6 +237,10 @@ def main(argv=None):
                       help="path to the experiment dir to resume")
   parser.add_argument("--load_checkpoint", default=None, type=str,
                       help="checkpoint path for a warm start")
+  parser.add_argument("--txt_bert_init", default=None, type=str,
+                      help="converted pretrained text-BERT msgpack "
+                           "(scripts/convert_hf_bert.py); defaults to "
+                           "data/txt_bert_init.msgpack when present")
   parser.add_argument("--device", default=None, type=str,
                       help="device indices (accepted for CLI parity)")
   parser.add_argument("--only_eval", action="store_true",
