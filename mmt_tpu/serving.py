@@ -45,14 +45,18 @@ class RetrievalIndex:
     """Embed every video served by ``loader`` (an eval BatchLoader)."""
     from mmt_tpu.train.trainer import model_batch
 
+    # Variables are a jit ARGUMENT, never a closure: closing over the
+    # params pytree bakes it into HLO constants, which the remote-compile
+    # tunnel rejects at flagship scale (CLAUDE.md; trainer.py does the
+    # same for its steps).
     @jax.jit
-    def embed(batch):
+    def embed(variables, batch):
       return model.apply(variables, batch, train=False,
                          method=model.embed_video)
 
     embds, weights, paths = [], [], []
     for batch in loader:
-      out = embed(model_batch(batch))
+      out = embed(variables, model_batch(batch))
       embds.append(np.asarray(out["vid_embds"]))
       weights.append(np.asarray(out["vid_weights"]))
       paths.extend(batch.get("paths", []))
@@ -124,6 +128,18 @@ class RetrievalEngine:
       self._dev_embds = jnp.asarray(index.vid_embds)
       self._dev_weights = jnp.asarray(index.vid_weights)
 
+    # Params live on device once; queries pass them as jit ARGUMENTS.
+    # Closing over the pytree would bake ~132M params into HLO constants
+    # — the exact remote-compile-tunnel failure CLAUDE.md documents (the
+    # trainer threads variables the same way, trainer.py train/embed
+    # steps).  Under a mesh they are explicitly replicated.
+    if mesh is not None:
+      from jax.sharding import NamedSharding, PartitionSpec as P
+      self._dev_variables = jax.device_put(variables,
+                                           NamedSharding(mesh, P()))
+    else:
+      self._dev_variables = jax.device_put(variables)
+
     n_real = len(index)
     # The Pallas similarity kernel carries a two-sided partitioning rule
     # (ops/similarity.py:_qv_sharded): with the index sharded on the
@@ -132,9 +148,8 @@ class RetrievalEngine:
     # path, so the global kernel toggle applies under the mesh too.
     prefer_pallas = None
 
-    @jax.jit
-    def query_fn(token_ids, vid_embds, vid_weights):
-      out = model.apply(self.variables, token_ids, train=False,
+    def query_fn(variables, token_ids, vid_embds, vid_weights):
+      out = model.apply(variables, token_ids, train=False,
                         method=model.embed_text)
       b, k, m, d = out["text_embds"].shape
       sims = similarity_ops.moe_similarity(
@@ -151,7 +166,10 @@ class RetrievalEngine:
       scores, idx = jax.lax.top_k(sims, k_top)
       return scores, idx
 
-    self._query_fn = query_fn
+    # The raw (unjitted) callable is kept for the no-baked-constants
+    # regression test (tests/test_serving.py).
+    self._query_fn_raw = query_fn
+    self._query_fn = jax.jit(query_fn)
 
   def encode_queries(self, texts: Sequence[str]) -> np.ndarray:
     rows = []
@@ -163,8 +181,8 @@ class RetrievalEngine:
 
   def search(self, texts: Sequence[str], topk: int = 5) -> List[List[Dict]]:
     token_ids = self.encode_queries(texts)
-    scores, idx = self._query_fn(token_ids, self._dev_embds,
-                                 self._dev_weights)
+    scores, idx = self._query_fn(self._dev_variables, token_ids,
+                                 self._dev_embds, self._dev_weights)
     scores, idx = np.asarray(scores), np.asarray(idx)
     results = []
     for q in range(len(texts)):
