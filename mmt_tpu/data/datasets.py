@@ -224,6 +224,10 @@ class ExpertDataset:
                raw_input_dims, training=False, tokenizer=None,
                cross_seed=0, load_in_ram=False, split_size=1.0,
                restrict_train_captions=0, loaded_data=None, **sample_opts):
+    # restrict_train_captions is accepted-inert, as in the reference: it
+    # is assigned but never consulted past __init__ there either
+    # (base/base_dataset.py:177).
+    del restrict_train_captions
     spec = DATASET_CATALOG[dataset_name]
     try:
       cut = spec.cuts[cut_name]

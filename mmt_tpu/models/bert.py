@@ -261,13 +261,6 @@ class TextBert(nn.Module):
     return hidden
 
 
-class Pooler(nn.Module):
-  """tanh(Dense(first token)) — model/bert.py:295-309."""
-  hidden_size: int
-  dtype: jnp.dtype = jnp.float32
-
-  @nn.compact
-  def __call__(self, hidden):
-    first = hidden[:, 0]
-    return jnp.tanh(nn.Dense(self.hidden_size, dtype=self.dtype,
-                             name="dense")(first))
+# NOTE: the reference's BertPooler (model/bert.py:295-309) is
+# intentionally NOT implemented: CENet consumes sequence outputs only and
+# the converter drops pooler weights (scripts/convert_checkpoint.py).

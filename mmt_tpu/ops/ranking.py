@@ -15,10 +15,14 @@ pass over the similarity matrix, O(QV) instead of O(QV log V)).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 MISSING_VAL = 1e8  # model/metric.py:186
 
@@ -135,7 +139,8 @@ def _round_up(x, m):
   return ((x + m - 1) // m) * m
 
 
-def _fused_counts(queries, cands, qw, cw, gt, gtcol, colbias):
+def _fused_counts(queries, cands, qw, cw, gt, gtcol, colbias,
+                  interpret=False):
   """(closer, tied) counts for each query against all candidates.
 
   queries/cands: weight-scaled [N, M*D] fp32; qw/cw: [N, M] weights;
@@ -164,7 +169,9 @@ def _fused_counts(queries, cands, qw, cw, gt, gtcol, colbias):
   gtcol_p = jnp.pad(gtcol.astype(jnp.int32), (0, qp - nq),
                     constant_values=-1)[:, None]
   colbias_p = jnp.pad(colbias.astype(jnp.float32), (0, vp - nc))[None, :]
-  nvalid = jnp.asarray([nc], jnp.int32)
+  # jnp.full, not jnp.asarray: a concrete array materialized at trace
+  # time becomes a jaxpr const, which custom_partitioning rejects.
+  nvalid = jnp.full((1,), nc, jnp.int32)
 
   grid = (qp // tile_q, vp // tile_v)
   closer, tied = pl.pallas_call(
@@ -197,8 +204,90 @@ def _fused_counts(queries, cands, qw, cw, gt, gtcol, colbias):
           jax.ShapeDtypeStruct((qp, 1), jnp.float32),
           jax.ShapeDtypeStruct((qp, 1), jnp.float32),
       ),
+      interpret=interpret,
   )(t, vv, qw_p, cw_p, gt_p, gtcol_p, colbias_p, nvalid)
   return closer[:nq, 0], tied[:nq, 0]
+
+
+def _cand_sharded(local_fn):
+  """custom_partitioning for the fused-counts op:
+
+      (queries[Q,K], cands[C,K], qw[Q,M], cw[C,M], gt[Q], gtcol[Q],
+       colbias[C]) -> (closer[Q], tied[Q])
+
+  The counts are ADDITIVE over candidate shards, so the natural rule is:
+  query-side operands shard like their rows; candidate-side operands
+  shard like theirs; each device counts its local candidate block (with
+  the GT-exclusion index shifted into shard-local coordinates — indices
+  outside the local range simply never match) and the outputs psum over
+  the candidate axis.  When both sides ride the same mesh axis the query
+  side wins and candidates gather (an output can't shard two ways on one
+  axis) — the at-scale eval shards candidates with queries replicated,
+  which also keeps the outputs replicated (multi-host lockstep-safe).
+  """
+  cp = custom_partitioning(local_fn)
+
+  def _axes(arg_shapes):
+    def row(i):
+      spec = arg_shapes[i].sharding.spec
+      return spec[0] if len(spec) else None
+    q = next((a for a in (row(0), row(2), row(4), row(5))
+              if a is not None), None)
+    c = next((a for a in (row(1), row(3), row(6)) if a is not None), None)
+    if q is not None and q == c:
+      c = None
+    return q, c
+
+  def infer(mesh, arg_shapes, result_shape):
+    q, _ = _axes(arg_shapes)
+    return (NamedSharding(mesh, P(q)), NamedSharding(mesh, P(q)))
+
+  def part(mesh, arg_shapes, result_shape):
+    # Follow the RESOLVED output sharding for the query axis (under
+    # Shardy the partition body must not guess — ops/similarity.py
+    # learned this the hard way); the candidate axis comes from the
+    # operands.
+    out_spec = result_shape[0].sharding.spec
+    q = out_spec[0] if len(out_spec) else None
+    _, c = _axes(arg_shapes)
+    if c is not None and c == q:
+      c = None
+    args = (NamedSharding(mesh, P(q, None)),
+            NamedSharding(mesh, P(c, None)),
+            NamedSharding(mesh, P(q, None)),
+            NamedSharding(mesh, P(c, None)),
+            NamedSharding(mesh, P(q)),
+            NamedSharding(mesh, P(q)),
+            NamedSharding(mesh, P(c)))
+    outs = (NamedSharding(mesh, P(q)), NamedSharding(mesh, P(q)))
+
+    def lower(queries, cands, qw, cw, gt, gtcol, colbias):
+      if c is None:
+        return local_fn(queries, cands, qw, cw, gt, gtcol, colbias)
+      axis = c if isinstance(c, str) else c[0]
+      # Shift the GT-exclusion index into this shard's coordinates; the
+      # validity window (col < local candidate count) and all counting
+      # stay shard-local, and the additive outputs reduce across shards.
+      offset = jax.lax.axis_index(axis) * cands.shape[0]
+      closer, tied = local_fn(queries, cands, qw, cw, gt,
+                              gtcol - offset, colbias)
+      return (jax.lax.psum(closer, axis), jax.lax.psum(tied, axis))
+
+    return mesh, lower, outs, args
+
+  cp.def_partition(partition=part, infer_sharding_from_operands=infer,
+                   sharding_rule="q k, c k, q m, c m, q, q, c -> q, q")
+  return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _counts_fn(interpret: bool):
+  # custom_partitioning requires positional-only callables.
+  def _local(queries, cands, qw, cw, gt, gtcol, colbias):
+    return _fused_counts(queries, cands, qw, cw, gt, gtcol, colbias,
+                         interpret=interpret)
+
+  return _cand_sharded(_local)
 
 
 def _chunked_counts(queries, cands, qw, cw, gt, gtcol, colbias,
@@ -237,12 +326,15 @@ def _gt_sims(queries, cands, qw, cw, gtcol):
   return numer / jnp.where(denom == 0, 1e-5, denom)
 
 
-@jax.jit
-def fused_t2v_ranks(text_embds, vid_embds, text_weights, vid_weights):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_t2v_ranks(text_embds, vid_embds, text_weights, vid_weights,
+                    vid_valid=None, interpret=False):
   """Tie-averaged t2v GT ranks straight from embeddings (no sims matrix).
 
   Args as in mmt_tpu.ops.similarity.moe_similarity; Q = V * caps.
-  Returns fp32 ranks [Q], matching
+  ``vid_valid`` (optional [V] bool/float): candidate validity — padding
+  rows (e.g. to divide a device mesh) are biased to -MISSING_VAL so they
+  never outrank a live video.  Returns fp32 ranks [Q], matching
   ``t2v_ranks(moe_similarity(..., merge='indep'))`` (the GT column is
   excluded by index, so the self-tie is exact; cross-column ties agree up
   to matmul rounding of the GT value).
@@ -253,8 +345,11 @@ def fused_t2v_ranks(text_embds, vid_embds, text_weights, vid_weights):
   vv, vw = _scaled_flat(vid_embds, vid_weights)
   gt_col = jnp.arange(q) // (q // v)
   gt = _gt_sims(t, vv, tw, vw, gt_col)
-  closer, tied = _fused_counts(t, vv, tw, vw, gt, gt_col,
-                               jnp.zeros((v,), jnp.float32))
+  if vid_valid is None:
+    colbias = jnp.zeros((v,), jnp.float32)
+  else:
+    colbias = jnp.where(vid_valid.astype(bool), 0.0, -MISSING_VAL)
+  closer, tied = _counts_fn(interpret)(t, vv, tw, vw, gt, gt_col, colbias)
   # GT column excluded by index: rank = closer + tied/2 (the self-tie's
   # (1-1)/2 = 0 contribution is already accounted for).
   return closer + tied / 2.0
@@ -279,34 +374,40 @@ def _v2t_ranks_from_counts(count_fn, text_embds, vid_embds, text_weights,
   return best
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_v2t_ranks(text_embds, vid_embds, text_weights, vid_weights,
-                    query_masks):
+                    query_masks, interpret=False):
   """Min tie-averaged rank of each video's own captions among all caption
   slots, straight from embeddings — the v2t orientation of the fused
   kernel (matches ``v2t_ranks(moe_similarity(..., merge='indep'), masks)``
   up to matmul rounding of near-ties; masked caption slots are biased to
   -MISSING_VAL so they never outrank live ones, model/metric.py:186)."""
-  return _v2t_ranks_from_counts(_fused_counts, text_embds, vid_embds,
-                                text_weights, vid_weights, query_masks)
+  return _v2t_ranks_from_counts(_counts_fn(interpret), text_embds,
+                                vid_embds, text_weights, vid_weights,
+                                query_masks)
 
 
 def t2v_ranks_from_embeddings(text_embds, vid_embds, text_weights,
-                              vid_weights):
+                              vid_weights, vid_valid=None):
   """Backend dispatch: Pallas on TPU, candidate-chunked XLA elsewhere.
   Either way the [Q, V] similarity matrix is never materialized in HBM."""
   from mmt_tpu.ops.similarity import qv_tiles
   m, d = text_embds.shape[1:]
   if jax.default_backend() == "tpu" and qv_tiles(1, 1, m * d) is not None:
-    return fused_t2v_ranks(text_embds, vid_embds, text_weights, vid_weights)
+    return fused_t2v_ranks(text_embds, vid_embds, text_weights, vid_weights,
+                           vid_valid)
   q = text_embds.shape[0]
   v = vid_embds.shape[0]
   t, tw = _scaled_flat(text_embds, text_weights)
   vv, vw = _scaled_flat(vid_embds, vid_weights)
   gt_col = jnp.arange(q) // (q // v)
   gt = _gt_sims(t, vv, tw, vw, gt_col)
-  closer, tied = _chunked_counts(t, vv, tw, vw, gt, gt_col,
-                                 jnp.zeros((v,), jnp.float32))
+  if vid_valid is None:
+    colbias = jnp.zeros((v,), jnp.float32)
+  else:
+    colbias = jnp.where(jnp.asarray(vid_valid).astype(bool), 0.0,
+                        -MISSING_VAL)
+  closer, tied = _chunked_counts(t, vv, tw, vw, gt, gt_col, colbias)
   return closer + tied / 2.0
 
 

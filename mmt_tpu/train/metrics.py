@@ -93,29 +93,85 @@ def _v2t_ranks_np(sims, query_masks):
 
 def fused_retrieval_metrics(text_embds, vid_embds, text_weights,
                             vid_weights, query_masks,
-                            which=("t2v_metrics", "v2t_metrics")):
+                            which=("t2v_metrics", "v2t_metrics"),
+                            mesh=None):
   """Retrieval metrics straight from embeddings, never materializing the
   [Q, V] similarity matrix (ops/ranking.py fused kernel on TPU, chunked
   XLA elsewhere).  For 50k+-video evals where the matrix is GBs of HBM.
-  Semantics match t2v_metrics/v2t_metrics on the full matrix."""
+  Semantics match t2v_metrics/v2t_metrics on the full matrix.
+
+  With ``mesh`` (a 1-D data mesh), each orientation shards its CANDIDATE
+  operands across chips with queries replicated: the fused-counts op's
+  partition rule (ops/ranking.py:_cand_sharded) counts shard-local
+  candidates and psums, so corpus-side HBM and FLOPs scale with chips
+  while the rank outputs stay replicated (multi-host lockstep-safe).
+  Inputs may be host (numpy) arrays — each chip then receives only its
+  candidate shard.  Videos are zero-padded to divide the mesh; pad
+  candidates are biased out (-MISSING_VAL) and pad queries masked off.
+  """
+  import jax
+  import jax.numpy as jnp
+
+  nv = vid_embds.shape[0]
+  cpv = text_embds.shape[0] // nv
+  masks = np.asarray(query_masks if query_masks is not None
+                     else np.ones((nv, cpv), np.float32))
+  vid_valid = None
+  shard3 = shard2 = shard1 = repl = None
+  if mesh is not None:
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    n = int(np.prod(mesh.devices.shape))
+    pad = (-nv) % n
+    if pad:
+      def padv(x, rows):
+        x = np.asarray(x)
+        return np.concatenate(
+            [x, np.zeros((rows,) + x.shape[1:], x.dtype)], 0)
+      vid_embds = padv(vid_embds, pad)
+      vid_weights = padv(vid_weights, pad)
+      text_embds = padv(text_embds, pad * cpv)
+      text_weights = padv(text_weights, pad * cpv)
+      masks = padv(masks, pad)   # pad caption slots: masked off
+      vid_valid = np.concatenate([np.ones(nv, np.float32),
+                                  np.zeros(pad, np.float32)])
+    axis = mesh.axis_names[0]
+    shard3 = NamedSharding(mesh, P(axis, None, None))
+    shard2 = NamedSharding(mesh, P(axis, None))
+    shard1 = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
   out = {}
   if "t2v_metrics" in which:
+    if mesh is not None:   # candidates = videos: shard them
+      te = jax.device_put(jnp_asarray(text_embds), repl)
+      tw = jax.device_put(jnp_asarray(text_weights), repl)
+      ve = jax.device_put(jnp_asarray(vid_embds), shard3)
+      vw = jax.device_put(jnp_asarray(vid_weights), shard2)
+      valid = (jax.device_put(jnp_asarray(vid_valid), shard1)
+               if vid_valid is not None else None)
+    else:
+      te, tw = jnp_asarray(text_embds), jnp_asarray(text_weights)
+      ve, vw = jnp_asarray(vid_embds), jnp_asarray(vid_weights)
+      valid = jnp_asarray(vid_valid) if vid_valid is not None else None
     cols = np.asarray(ranking_ops.t2v_ranks_from_embeddings(
-        text_embds, vid_embds, text_weights, vid_weights))
-    nq = cols.shape[0]
-    if query_masks is not None:
-      keep = np.asarray(query_masks).reshape(-1).astype(bool)
-      cols = cols[keep]
-      nq = int(keep.sum())
-    out["t2v_metrics"] = cols2metrics(cols, nq)
+        te, ve, tw, vw, vid_valid=valid))
+    keep = masks.reshape(-1).astype(bool)
+    cols = cols[keep]
+    out["t2v_metrics"] = cols2metrics(cols, int(keep.sum()))
   if "v2t_metrics" in which:
-    nv = vid_embds.shape[0]
-    masks = (query_masks if query_masks is not None
-             else np.ones((nv, text_embds.shape[0] // nv), np.float32))
+    if mesh is not None:   # candidates = caption slots: shard them
+      te = jax.device_put(jnp_asarray(text_embds), shard3)
+      tw = jax.device_put(jnp_asarray(text_weights), shard2)
+      ve = jax.device_put(jnp_asarray(vid_embds), repl)
+      vw = jax.device_put(jnp_asarray(vid_weights), repl)
+      masks_dev = jax.device_put(jnp_asarray(masks), repl)
+    else:
+      te, tw = jnp_asarray(text_embds), jnp_asarray(text_weights)
+      ve, vw = jnp_asarray(vid_embds), jnp_asarray(vid_weights)
+      masks_dev = jnp_asarray(masks)
     ranks = np.asarray(ranking_ops.v2t_ranks_from_embeddings(
-        text_embds, vid_embds, text_weights, vid_weights,
-        jnp_asarray(masks)))
-    out["v2t_metrics"] = cols2metrics(ranks, nv)
+        te, ve, tw, vw, masks_dev))
+    out["v2t_metrics"] = cols2metrics(ranks[:nv], nv)
   return out
 
 

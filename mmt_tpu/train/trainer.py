@@ -631,9 +631,16 @@ class Trainer:
   # ------------------------------------------------------------------
   # Eval
   # ------------------------------------------------------------------
-  def _get_embeddings(self, loader):
+  def _get_embeddings(self, loader, to_host=False):
     """Accumulate per-modality embeddings over an eval set
-    (trainer/trainer.py:286-370)."""
+    (trainer/trainer.py:286-370).
+
+    ``to_host=True`` (the fused at-scale path) lands every batch's
+    embeddings in host memory instead of concatenating on device: a
+    50k+-video corpus then never occupies one chip's HBM — the fused
+    ranking re-shards it across the mesh candidate-wise
+    (metrics.fused_retrieval_metrics), so per-chip residency is
+    corpus/n_chips."""
     vid_embds, text_embds = [], []
     vid_weights, text_weights = [], []
     query_masks, raw_captions, paths = [], [], []
@@ -653,21 +660,23 @@ class Trainer:
       if self.multiprocess:
         padded = mesh_lib.shard_batch(self.mesh, padded)
       out = self.embed_step(self.params, self.batch_stats, padded)
-      vid_embds.append(out["vid_embds"][:n])
-      text_embds.append(out["text_embds"][:n])
-      vid_weights.append(out["vid_weights"][:n])
-      text_weights.append(out["text_weights"][:n])
+      snap = np.asarray if to_host else (lambda x: x)
+      vid_embds.append(snap(out["vid_embds"][:n]))
+      text_embds.append(snap(out["text_embds"][:n]))
+      vid_weights.append(snap(out["vid_weights"][:n]))
+      text_weights.append(snap(out["text_weights"][:n]))
       query_masks.append(np.asarray(batch["query_masks"]))
       raw_captions.extend(batch.get("raw_captions",
                                     [None] * len(batch["query_masks"])))
       paths.extend(batch.get("paths", [""] * len(batch["query_masks"])))
       self.timer.update("valid_batch.forward", time.time() - step_start)
       data_start = time.time()
+    cat = np.concatenate if to_host else jnp.concatenate
     return {
-        "vid_embds": jnp.concatenate(vid_embds, 0),
-        "text_embds": jnp.concatenate(text_embds, 0),
-        "vid_weights": jnp.concatenate(vid_weights, 0),
-        "text_weights": jnp.concatenate(text_weights, 0),
+        "vid_embds": cat(vid_embds, 0),
+        "text_embds": cat(text_embds, 0),
+        "vid_weights": cat(vid_weights, 0),
+        "text_weights": cat(text_weights, 0),
         "query_masks": np.concatenate(query_masks, 0),
         "raw_captions": raw_captions,
         "paths": paths,
@@ -679,17 +688,16 @@ class Trainer:
     for entry in entries:
       loader, dataset = entry["loader"], entry["dataset"]
       dataset_name = dataset.dataset_name
-      with self.timer.time("valid.embds"):
-        embds = self._get_embeddings(loader)
 
-      b, k, m, d = embds["text_embds"].shape
-      query_masks = embds["query_masks"]
-      n_videos = embds["vid_embds"].shape[0]
       metric_names = {name for name, _ in self.metrics}
       # At >= fused_eval_from_videos videos, rank on-device from the
       # embeddings (ops/ranking.py) instead of materializing the [Q, V]
       # matrix; final_eval keeps the matrix (sims .npy / challenge CSV
-      # artifacts need it, trainer/trainer.py:411-437).
+      # artifacts need it, trainer/trainer.py:411-437).  Decided from
+      # len(dataset) BEFORE embedding so the at-scale path can land the
+      # accumulated embeddings on host instead of one chip's HBM
+      # (identical on every process: len() is deterministic).
+      n_videos = len(dataset)
       use_fused = (sets != "final_eval"
                    and self.fused_eval_from_videos
                    and n_videos >= self.fused_eval_from_videos
@@ -698,6 +706,13 @@ class Trainer:
                    # configured flag, not the per-process instance, so
                    # all processes pick the same program)
                    and not self._want_visualizer)
+
+      with self.timer.time("valid.embds"):
+        embds = self._get_embeddings(loader, to_host=use_fused)
+
+      b, k, m, d = embds["text_embds"].shape
+      query_masks = embds["query_masks"]
+      n_videos = embds["vid_embds"].shape[0]
       sims = None
       if not use_fused:
         with self.timer.time("valid.conf_mat"):
@@ -739,9 +754,12 @@ class Trainer:
               embds["vid_embds"],
               embds["text_weights"].reshape(b * k, m),
               embds["vid_weights"],
-              query_masks, which=tuple(name for name, _ in self.metrics))
+              query_masks, which=tuple(name for name, _ in self.metrics),
+              mesh=self.mesh)
         logger.info("%s: fused on-device ranking (%d videos; sims matrix "
-                    "not materialized)", dataset_name, n_videos)
+                    "not materialized%s)", dataset_name, n_videos,
+                    ", candidate-sharded across the mesh"
+                    if self.mesh is not None else "")
 
       # Tracked throughput metric (BASELINE.json): eval videos/sec/chip.
       embds_time = self.timer.dic.get("valid.embds", {}).get("val", 0)

@@ -40,19 +40,36 @@ def _run_worker_pair(worker, envs_for_port, repo, timeout, what="worker",
                               stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT, text=True)
              for env in envs_for_port(port)]
-    outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    try:
+      outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    except subprocess.TimeoutExpired:
+      # A hang must not leak two CPU-bound workers into the rest of the
+      # suite on this single-core machine.
+      for p in procs:
+        p.kill()
+      for p in procs:
+        p.communicate()
+      raise
     rcs = [p.returncode for p in procs]
     if all(rc == 0 for rc in rcs):
       return outs
-    gloo_flake = any("Gloo context initialization failed" in out
-                     for out in outs)
+    # Retry ONLY when every failing process shows the Gloo signature: a
+    # real crash in one worker typically cascades into a Gloo DEADLINE
+    # in its peer, and retrying that would bury the true diagnostics.
+    gloo_flake = all("Gloo context initialization failed" in out
+                     for rc, out in zip(rcs, outs) if rc != 0)
     if attempt == 0 and gloo_flake:
+      for i, (rc, out) in enumerate(zip(rcs, outs)):
+        if rc != 0:
+          print(f"[{what} attempt 0, proc {i} rc={rc}] tail:\n"
+                f"{out[-1500:]}", file=sys.stderr)
       if on_retry is not None:
         on_retry()
       continue
-    for rc, out in zip(rcs, outs):
-      assert rc == 0, f"{what} rc={rc}:\n{out[-4000:]}"
-  return outs
+    fails = "\n".join(f"proc {i} rc={rc}:\n{out[-4000:]}"
+                      for i, (rc, out) in enumerate(zip(rcs, outs))
+                      if rc != 0)
+    raise AssertionError(f"{what} failed:\n{fails}")
 
 
 def test_data_mesh_shapes():
@@ -375,10 +392,18 @@ def test_two_process_full_trainer_matches_single_process(tmp_path):
       out.append(env)
     return out
 
-  # No on_retry here: a gloo-init failure precedes any write, and the
-  # resume leg must keep exp2's existing checkpoints.
+  # A gloo-init failure precedes any write, so the resume leg must keep
+  # exp2's existing checkpoints; on_retry ENFORCES that assumption — if
+  # one process somehow completed (writing checkpoint-epoch3) while its
+  # peer failed Gloo init, a retry would resume from the already-advanced
+  # state and the epoch==3 asserts below would pass vacuously.
+  def no_partial_progress():
+    assert not (exp2 / "checkpoint-epoch3.msgpack").exists(), (
+        "gloo retry requested but the resume leg already wrote "
+        "checkpoint-epoch3 — a retry would not exercise a real resume")
+
   outs = _run_worker_pair(worker, renvs, repo, timeout=1800,
-                          what="resume worker")
+                          what="resume worker", on_retry=no_partial_progress)
   fr0, _, rperfs0 = parse(outs[0])
   fr1, _, rperfs1 = parse(outs[1])
   np.testing.assert_allclose(fr0, fr1, rtol=1e-8)
@@ -583,3 +608,98 @@ def test_ffn_kernel_partitions_on_rows():
                              rtol=1e-4, atol=1e-5)
   np.testing.assert_allclose(np.asarray(gw_8), np.asarray(gw_1),
                              rtol=1e-4, atol=1e-5)
+
+
+def test_fused_ranking_kernel_partitions_candidate_axis():
+  """The fused-counts ranking op's custom_partitioning
+  (ops/ranking.py:_cand_sharded) under the 8-device mesh:
+
+  * at-scale eval case — CANDIDATE operands sharded, queries replicated:
+    ranks match the unsharded kernel in both orientations and the
+    outputs stay REPLICATED (the psum over candidate shards keeps
+    multi-host lockstep);
+  * query-sharded case — queries sharded, candidates replicated: ranks
+    match and outputs stay query-sharded (no psum needed);
+  * padded corpus — vid_valid biases pad candidates out exactly.
+  """
+  from mmt_tpu.ops import ranking
+
+  rng = np.random.RandomState(0)
+  v, cpv, m, d = 24, 2, 3, 32
+  q = v * cpv
+  te = rng.randn(q, m, d).astype(np.float32)
+  ve = rng.randn(v, m, d).astype(np.float32)
+  tw = np.abs(rng.randn(q, m)).astype(np.float32)
+  vw = np.abs(rng.randn(v, m)).astype(np.float32)
+  masks = (rng.rand(v, cpv) > 0.2).astype(np.float32)
+  masks[:, 0] = 1.0   # every video keeps one live caption
+
+  t2v = lambda *a, **k: ranking.fused_t2v_ranks(*a, interpret=True, **k)
+  v2t = lambda *a, **k: ranking.fused_v2t_ranks(*a, interpret=True, **k)
+
+  want_t2v = np.asarray(t2v(te, ve, tw, vw))
+  want_v2t = np.asarray(v2t(te, ve, tw, vw, masks))
+
+  mesh = mesh_lib.data_mesh()
+  row3 = NamedSharding(mesh, P("data", None, None))
+  row2 = NamedSharding(mesh, P("data", None))
+  rep = NamedSharding(mesh, P())
+
+  # At-scale eval: video candidates sharded, caption queries replicated.
+  got = t2v(jax.device_put(te, rep), jax.device_put(ve, row3),
+            jax.device_put(tw, rep), jax.device_put(vw, row2))
+  np.testing.assert_allclose(np.asarray(got), want_t2v, atol=1e-5)
+  assert all(a is None for a in tuple(got.sharding.spec)), got.sharding
+
+  # v2t orientation: caption candidates sharded, video queries replicated.
+  got2 = v2t(jax.device_put(te, row3), jax.device_put(ve, rep),
+             jax.device_put(tw, row2), jax.device_put(vw, rep),
+             jax.device_put(jnp.asarray(masks), rep))
+  np.testing.assert_allclose(np.asarray(got2), want_v2t, atol=1e-5)
+  assert all(a is None for a in tuple(got2.sharding.spec)), got2.sharding
+
+  # Query-sharded: outputs ride the query sharding, candidates gather.
+  got3 = t2v(jax.device_put(te, row3), jax.device_put(ve, rep),
+             jax.device_put(tw, row2), jax.device_put(vw, rep))
+  np.testing.assert_allclose(np.asarray(got3), want_t2v, atol=1e-5)
+  assert "data" in tuple(got3.sharding.spec), got3.sharding
+
+  # Padded corpus: 8 zero pad videos (divisible sharding), biased out via
+  # vid_valid; the pad rows must change NO real query's rank.
+  pad = 8
+  ve_p = np.concatenate([ve, np.zeros((pad, m, d), np.float32)], 0)
+  vw_p = np.concatenate([vw, np.zeros((pad, m), np.float32)], 0)
+  te_p = np.concatenate([te, np.zeros((pad * cpv, m, d), np.float32)], 0)
+  tw_p = np.concatenate([tw, np.zeros((pad * cpv, m), np.float32)], 0)
+  valid = np.concatenate([np.ones(v, np.float32), np.zeros(pad, np.float32)])
+  got4 = t2v(jax.device_put(te_p, rep),
+             jax.device_put(ve_p, NamedSharding(mesh, P("data", None, None))),
+             jax.device_put(tw_p, rep),
+             jax.device_put(vw_p, NamedSharding(mesh, P("data", None))),
+             jax.device_put(jnp.asarray(valid), NamedSharding(mesh, P("data"))))
+  np.testing.assert_allclose(np.asarray(got4)[:q], want_t2v, atol=1e-5)
+
+
+def test_fused_retrieval_metrics_sharded_matches_unsharded():
+  """metrics.fused_retrieval_metrics(mesh=...) — the sharded at-scale
+  eval — equals the unsharded call on an UNEVEN corpus (padding +
+  masking exercised end-to-end), from host-side numpy inputs."""
+  from mmt_tpu.train import metrics as metrics_lib
+
+  rng = np.random.RandomState(1)
+  v, cpv, m, d = 21, 2, 3, 16   # 21 % 8 != 0 -> mesh pads to 24
+  q = v * cpv
+  te = rng.randn(q, m, d).astype(np.float32)
+  ve = rng.randn(v, m, d).astype(np.float32)
+  tw = np.abs(rng.randn(q, m)).astype(np.float32)
+  vw = np.abs(rng.randn(v, m)).astype(np.float32)
+  masks = (rng.rand(v, cpv) > 0.2).astype(np.float32)
+  masks[:, 0] = 1.0
+
+  want = metrics_lib.fused_retrieval_metrics(te, ve, tw, vw, masks)
+  got = metrics_lib.fused_retrieval_metrics(te, ve, tw, vw, masks,
+                                            mesh=mesh_lib.data_mesh())
+  for which in ("t2v_metrics", "v2t_metrics"):
+    for key in want[which]:
+      np.testing.assert_allclose(got[which][key], want[which][key],
+                                 rtol=1e-6, err_msg=f"{which}/{key}")
