@@ -262,10 +262,13 @@ def _timed(fn):
 
 
 def _bench_train_step(jax, jnp):
-  """Full jitted train step (fwd + similarity + loss + bwd + Adam) on the
-  flagship model, MSRVTT batch size 32 (BASELINE.md training scale;
-  BENCH_TRAIN_BATCH overrides — e.g. 128 amortizes the Adam update to
-  ~1,450 samples/s, docs/PERF.md)."""
+  """Full jitted train step (fwd + similarity + loss + bwd + optimizer)
+  on the flagship model, MSRVTT batch size 32 (BASELINE.md training
+  scale; BENCH_TRAIN_BATCH overrides — e.g. 128 amortizes the optimizer
+  update to ~1,450 samples/s, docs/PERF.md).  BENCH_TRAIN_OPT selects
+  the optimizer (Adam default; Ranger = the reference's
+  utils/ranger.py RAdam+Lookahead, whose slow-weight state doubles what
+  the donated step carries — measured in docs/PERF.md)."""
   import optax
   from __graft_entry__ import _flagship_model_and_batch
   from mmt_tpu.models.cenet import similarity_from_outputs
@@ -279,8 +282,9 @@ def _bench_train_step(jax, jnp):
       {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
       batch, train=False)
   params, bs = variables["params"], variables.get("batch_stats", {})
-  tx, _ = build_optimizer({"type": "Adam", "args": {"lr": 5e-5,
-                                                    "weight_decay": 0}})
+  opt_type = os.environ.get("BENCH_TRAIN_OPT", "Adam")
+  tx, _ = build_optimizer({"type": opt_type, "args": {"lr": 5e-5,
+                                                      "weight_decay": 0}})
   opt_state = tx.init(params)
   loss_fn = max_margin_ranking_loss(0.05, True)
 

@@ -86,6 +86,14 @@ class TransformerLayer(nn.Module):
     dh = h // n_heads
     dt = self.dtype
 
+    # Round-4 A/B, measured and REJECTED: classic [B, S, D] projections
+    # for small-head (dh=64) layers — the text tower's layout-native
+    # matmuls run at ~66 TF/s (dh=64 fills half the 128-lane MXU tile)
+    # vs the video tower's ~165, so full-lane classic projections +
+    # explicit head split/merge looked like a win.  Same-session bench:
+    # classic 0.1382 s vs layout-native 0.1329 s — the split/merge
+    # copies and broken fusions cost more than the lanes recover
+    # (docs/PERF.md round-4 roofline).
     def project_heads(name):
       kernel, bias = _Proj(h, h, init, name=name)()
       out = jnp.einsum("bsd,dhe->bhse", hidden.astype(dt),
