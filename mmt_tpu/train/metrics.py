@@ -153,8 +153,15 @@ def fused_retrieval_metrics(text_embds, vid_embds, text_weights,
       te, tw = jnp_asarray(text_embds), jnp_asarray(text_weights)
       ve, vw = jnp_asarray(vid_embds), jnp_asarray(vid_weights)
       valid = jnp_asarray(vid_valid) if vid_valid is not None else None
-    cols = np.asarray(ranking_ops.t2v_ranks_from_embeddings(
-        te, ve, tw, vw, vid_valid=valid))
+    cols_dev = ranking_ops.t2v_ranks_from_embeddings(te, ve, tw, vw,
+                                                     vid_valid=valid)
+    if mesh is not None:
+      # Explicitly replicate before the host read: the Pallas partition
+      # rule psums to replicated by construction, but the chunked XLA
+      # path's output sharding is GSPMD's choice — and a multi-HOST read
+      # of a non-replicated array is not addressable.
+      cols_dev = jax.device_put(cols_dev, repl)
+    cols = np.asarray(cols_dev)
     keep = masks.reshape(-1).astype(bool)
     cols = cols[keep]
     out["t2v_metrics"] = cols2metrics(cols, int(keep.sum()))
@@ -169,8 +176,11 @@ def fused_retrieval_metrics(text_embds, vid_embds, text_weights,
       te, tw = jnp_asarray(text_embds), jnp_asarray(text_weights)
       ve, vw = jnp_asarray(vid_embds), jnp_asarray(vid_weights)
       masks_dev = jnp_asarray(masks)
-    ranks = np.asarray(ranking_ops.v2t_ranks_from_embeddings(
-        te, ve, tw, vw, masks_dev))
+    ranks_dev = ranking_ops.v2t_ranks_from_embeddings(te, ve, tw, vw,
+                                                      masks_dev)
+    if mesh is not None:
+      ranks_dev = jax.device_put(ranks_dev, repl)
+    ranks = np.asarray(ranks_dev)
     out["v2t_metrics"] = cols2metrics(ranks[:nv], nv)
   return out
 

@@ -57,6 +57,15 @@ def main_full_train():
     cfg["train_sets"][0]["args"]["batch_size"] = 8  # divides the 8-dev mesh
     cfg["trainer"].update({"epochs": 2, "max_samples_per_epoch": 16,
                            "save_dir": str(exp_root)})
+    if os.environ.get("MMT_TPU_WORKER_FUSED_EVAL"):
+      # Route continuous eval through the candidate-sharded fused
+      # no-matrix path (metrics.fused_retrieval_metrics(mesh=...)) —
+      # the at-scale 50k+ eval program, exercised here across real
+      # processes.  final_eval stays on the matrix path (sims artifact),
+      # so BOTH eval programs run in this test.  The visualizer reads
+      # the sims matrix, so it must be off for the fused path to engage.
+      cfg.pop("visualizer", None)
+      cfg["trainer"]["fused_eval_from_videos"] = 1
     tag = os.environ.get("MMT_TPU_PROCESS_ID", "single")
     cfg_path = root / f"cfg_full_{tag}.json"
     cfg_path.write_text(json.dumps(cfg))

@@ -253,6 +253,10 @@ def test_two_process_full_trainer_matches_single_process(tmp_path):
     env["MMT_TPU_WORKER_ROOT"] = str(root)
     env["MMT_TPU_WORKER_DATA"] = str(data_dir)
     env["MMT_TPU_WORKER_EXP"] = str(exp_dir)
+    # Continuous eval runs the candidate-sharded fused no-matrix path
+    # across the real 2-process mesh (final_eval still materializes the
+    # matrix, so both eval programs are covered by this e2e).
+    env["MMT_TPU_WORKER_FUSED_EVAL"] = "1"
     if proc_id is not None:
       env["MMT_TPU_COORDINATOR"] = f"localhost:{port}"
       env["MMT_TPU_NUM_PROCESSES"] = str(n_procs)
