@@ -32,6 +32,10 @@ from mmt_tpu.ops import similarity as similarity_ops
 logger = logging.getLogger(__name__)
 
 
+def _next_pow2(n: int) -> int:
+  return 1 << max(0, (int(n) - 1)).bit_length()
+
+
 @dataclasses.dataclass
 class RetrievalIndex:
   """Embedded corpus: [N, M, D] video embeddings + [N, M] MoE weights."""
@@ -141,20 +145,22 @@ class RetrievalEngine:
       self._dev_variables = jax.device_put(variables)
 
     n_real = len(index)
-    # The Pallas similarity kernel carries a two-sided partitioning rule
-    # (ops/similarity.py:_qv_sharded): with the index sharded on the
-    # video axis it computes shard-local [Q, V/n] blocks and the top-k
-    # below merges across chips — the index is never gathered, on either
-    # path, so the global kernel toggle applies under the mesh too.
-    prefer_pallas = None
+    # XLA's einsum beats the Pallas similarity kernel at serving shapes
+    # (measured on one v5e at [64, 100k]: 1.10 ms vs 1.58 ms — the
+    # kernel's Q-axis tile padding wastes most of the MXU rows when Q is
+    # a small query batch; the kernel only wins on large eval matrices).
+    # Under a mesh the einsum partitions natively (shard-local [Q, V/n]
+    # blocks; the top-k below merges across chips) so the index is never
+    # gathered on either path.
+    prefer_pallas = False
 
-    def query_fn(variables, token_ids, vid_embds, vid_weights):
+    def query_fn(variables, token_ids, vid_embds, vid_weights, *, k):
       out = model.apply(variables, token_ids, train=False,
                         method=model.embed_text)
-      b, k, m, d = out["text_embds"].shape
+      b, c, m, d = out["text_embds"].shape
       sims = similarity_ops.moe_similarity(
-          out["text_embds"].reshape(b * k, m, d), vid_embds,
-          out["text_weights"].reshape(b * k, m), vid_weights,
+          out["text_embds"].reshape(b * c, m, d), vid_embds,
+          out["text_weights"].reshape(b * c, m), vid_weights,
           merge="indep", num_caps=1, prefer_pallas=prefer_pallas)
       if sims.shape[1] != n_real:
         # Mesh-padding rows must never reach the top-k: their sims are 0
@@ -162,14 +168,18 @@ class RetrievalEngine:
         # videos.
         sims = jnp.where(jnp.arange(sims.shape[1])[None, :] < n_real,
                          sims, -jnp.inf)
-      k_top = min(10, n_real)
-      scores, idx = jax.lax.top_k(sims, k_top)
+      scores, idx = jax.lax.top_k(sims, k)
       return scores, idx
 
     # The raw (unjitted) callable is kept for the no-baked-constants
-    # regression test (tests/test_serving.py).
+    # regression test (tests/test_serving.py).  k is a STATIC argument:
+    # each distinct k compiles its own executable, so search() below
+    # buckets both k and the query-batch size to powers of two — a
+    # long-lived server sees O(log^2) compiles instead of one per
+    # distinct (batch, topk) request shape (remote compiles cost ~5 s
+    # over the tunnel).
     self._query_fn_raw = query_fn
-    self._query_fn = jax.jit(query_fn)
+    self._query_fn = jax.jit(query_fn, static_argnames="k")
 
   def encode_queries(self, texts: Sequence[str]) -> np.ndarray:
     rows = []
@@ -181,13 +191,25 @@ class RetrievalEngine:
 
   def search(self, texts: Sequence[str], topk: int = 5) -> List[List[Dict]]:
     token_ids = self.encode_queries(texts)
+    k_req = max(1, min(int(topk), len(self.index)))
+    # Bucket the compiled shapes: batch rows pad up to the next power of
+    # two (pad queries are all-zero token rows — fully masked attention
+    # is uniform, not NaN — and their results are sliced away), k rounds
+    # up likewise.  Entirely new request shapes then reuse executables.
+    b_pad = _next_pow2(len(texts)) - len(texts)
+    if b_pad:
+      token_ids = np.concatenate(
+          [token_ids, np.zeros((b_pad,) + token_ids.shape[1:],
+                               token_ids.dtype)], 0)
+    k_jit = min(_next_pow2(k_req), len(self.index))
     scores, idx = self._query_fn(self._dev_variables, token_ids,
-                                 self._dev_embds, self._dev_weights)
+                                 self._dev_embds, self._dev_weights,
+                                 k=k_jit)
     scores, idx = np.asarray(scores), np.asarray(idx)
     results = []
     for q in range(len(texts)):
       hits = []
-      for rank in range(min(topk, idx.shape[1])):
+      for rank in range(min(k_req, idx.shape[1])):
         v = int(idx[q, rank])
         hits.append({"video_id": self.index.video_ids[v],
                      "path": self.index.paths[v],

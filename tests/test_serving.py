@@ -188,6 +188,57 @@ def test_sharded_index_matches_unsharded(served):
       assert h["video_id"] in index.video_ids
 
 
+def test_topk_beyond_ten_and_shape_bucketing(served):
+  """topk is a STATIC jit arg, not a hardcoded 10: on an index of 16, a
+  topk=13 search returns 13 correctly-ordered hits that prefix-match the
+  full ranking.  Batch size and k bucket to powers of two so repeated
+  odd-shaped requests reuse compiled executables."""
+  from mmt_tpu.serving import RetrievalEngine, RetrievalIndex
+  root, cfg_path, trainer = served
+
+  variables = {"params": trainer.params, "batch_stats": trainer.batch_stats}
+  rng = np.random.RandomState(7)
+  m, d = 2, 48  # tiny-model modality/embedding geometry (see fixture)
+  embds = rng.randn(16, m, d).astype(np.float32)
+  embds /= np.linalg.norm(embds, axis=-1, keepdims=True)
+  weights = rng.rand(16, m).astype(np.float32)
+  weights /= weights.sum(-1, keepdims=True)
+  index = RetrievalIndex(embds, weights,
+                         [f"v{i}" for i in range(16)], [""] * 16)
+  engine = RetrievalEngine(trainer.model, variables, trainer.tokenizer,
+                           index, max_text_words=12)
+
+  queries = ["a video of cooking", "a video of soccer", "a video of rain"]
+  full = engine.search(queries, topk=16)      # k buckets to 16
+  got13 = engine.search(queries, topk=13)     # also buckets to 16
+  for f_hits, g_hits in zip(full, got13):
+    assert len(f_hits) == 16 and len(g_hits) == 13
+    assert [h["video_id"] for h in g_hits] == \
+           [h["video_id"] for h in f_hits][:13]
+    scores = [h["score"] for h in g_hits]
+    assert scores == sorted(scores, reverse=True)
+
+  # Batch bucketing: B in {3, 4} pads to one executable per k bucket,
+  # and padded-batch results match the unpadded call row-for-row.
+  before = engine._query_fn._cache_size()
+  got4 = engine.search(queries + ["a video of chess"], topk=13)
+  assert engine._query_fn._cache_size() == before  # B=3 padded to 4
+  for g3, g4 in zip(got13, got4[:3]):
+    assert [h["video_id"] for h in g3] == [h["video_id"] for h in g4]
+    np.testing.assert_allclose([h["score"] for h in g3],
+                               [h["score"] for h in g4],
+                               rtol=1e-5, atol=1e-6)
+  # A brand-new (B, k) bucket compiles exactly once...
+  engine.search(queries[:1], topk=3)
+  grew = engine._query_fn._cache_size()
+  assert grew == before + 1
+  # ...and nearby shapes inside the same buckets reuse it (B=1 stays 1,
+  # topk in {3, 4} buckets to k=4).
+  engine.search(queries[:1], topk=4)
+  engine.search(queries[:1], topk=3)
+  assert engine._query_fn._cache_size() == grew
+
+
 def test_query_fn_threads_variables_no_baked_params(served):
   """Serving must pass the params pytree as a jit ARGUMENT (VERDICT r3
   weak #1): closing over it bakes ~132M params into HLO constants and
@@ -204,9 +255,10 @@ def test_query_fn_threads_variables_no_baked_params(served):
                            index, max_text_words=12)
 
   token_ids = engine.encode_queries(["a video of something"])
-  jaxpr = jax.make_jaxpr(engine._query_fn_raw)(
-      engine._dev_variables, token_ids, engine._dev_embds,
-      engine._dev_weights)
+  jaxpr = jax.make_jaxpr(
+      lambda v, t, e, w: engine._query_fn_raw(v, t, e, w, k=3))(
+          engine._dev_variables, token_ids, engine._dev_embds,
+          engine._dev_weights)
 
   def nbytes(c):
     try:
