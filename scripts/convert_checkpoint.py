@@ -300,6 +300,210 @@ def jax_to_numpy(tree):
   return jax.tree_util.tree_map(np.asarray, tree)
 
 
+# ---------------------------------------------------------------------------
+# Reverse direction: flax tree -> reference-style torch state dict.
+# ---------------------------------------------------------------------------
+
+_BERT_SUB = {"query": "attention.self.query", "key": "attention.self.key",
+             "value": "attention.self.value", "attn_out": "attention.output.dense",
+             "ffn_inter": "intermediate.dense", "ffn_out": "output.dense"}
+_BERT_LN = {"attn_ln": "attention.output", "ffn_ln": "output"}
+_LSTM_RE = re.compile(
+    r"^text_pooling/OptimizedLSTMCell_(\d+)/([ih])([ifgo])/(kernel|bias)$")
+
+
+def flatten_tree(tree, prefix=""):
+  """Nested dict -> {'a/b/c': np.ndarray} (insertion order preserved)."""
+  flat = {}
+  for key, val in tree.items():
+    path = f"{prefix}/{key}" if prefix else key
+    if isinstance(val, dict):
+      flat.update(flatten_tree(val, path))
+    else:
+      flat[path] = np.asarray(val)
+  return flat
+
+
+def _export_param_entry(path: str):
+  """Flax params path -> (torch name, transpose) or None.
+
+  The exact inverse of build_name_map's params side (LSTM gates are fused
+  separately by export_state_dict)."""
+  def _ln(tower):
+    return "LayerNorm" if tower == "txt" else "layer_norm"
+
+  m = re.match(r"^(txt|vid)_bert/(word|position|token_type)_embeddings"
+               r"/embedding$", path)
+  if m:
+    return f"{m.group(1)}_bert.embeddings.{m.group(2)}_embeddings.weight", False
+  m = re.match(r"^(txt|vid)_bert/embeddings_ln/(scale|bias)$", path)
+  if m:
+    leaf = "weight" if m.group(2) == "scale" else "bias"
+    return f"{m.group(1)}_bert.embeddings.{_ln(m.group(1))}.{leaf}", False
+  m = re.match(r"^(txt|vid)_bert/encoder/layer_(\d+)/"
+               r"(query|key|value|attn_out|ffn_inter|ffn_out)/(kernel|bias)$",
+               path)
+  if m:
+    tower, i, sub, leaf = m.groups()
+    torch_leaf = "weight" if leaf == "kernel" else "bias"
+    return (f"{tower}_bert.encoder.layer.{i}.{_BERT_SUB[sub]}.{torch_leaf}",
+            leaf == "kernel")
+  m = re.match(r"^(txt|vid)_bert/encoder/layer_(\d+)/(attn_ln|ffn_ln)"
+               r"/(scale|bias)$", path)
+  if m:
+    tower, i, sub, leaf = m.groups()
+    torch_leaf = "weight" if leaf == "scale" else "bias"
+    return (f"{tower}_bert.encoder.layer.{i}.{_BERT_LN[sub]}"
+            f".{_ln(tower)}.{torch_leaf}", False)
+  m = re.match(r"^video_dim_reduce_(\w+)/fc/(kernel|bias)$", path)
+  if m:
+    return (f"video_dim_reduce.{m.group(1)}.fc."
+            f"{'weight' if m.group(2) == 'kernel' else 'bias'}",
+            m.group(2) == "kernel")
+  m = re.match(r"^(text|video)_gu_(\w+)/(fc|cg/fc)/(kernel|bias)$", path)
+  if m:
+    kind, mod, sub, leaf = m.groups()
+    return (f"{kind}_GU.{mod}.{sub.replace('/', '.')}."
+            f"{'weight' if leaf == 'kernel' else 'bias'}", leaf == "kernel")
+  m = re.match(r"^(text|video)_gu_(\w+)/cg/(batch_norm2?)/bn/(scale|bias)$",
+               path)
+  if m:
+    kind, mod, bn, leaf = m.groups()
+    return (f"{kind}_GU.{mod}.cg.{bn}."
+            f"{'weight' if leaf == 'scale' else 'bias'}", False)
+  m = re.match(r"^([gf]_reason_[12])/(kernel|bias)$", path)
+  if m:
+    return (f"{m.group(1)}.{'weight' if m.group(2) == 'kernel' else 'bias'}",
+            m.group(2) == "kernel")
+  m = re.match(r"^text_pooling/fc/(kernel|bias)$", path)
+  if m:
+    return (f"text_pooling.fc.{'weight' if m.group(1) == 'kernel' else 'bias'}",
+            m.group(1) == "kernel")
+  m = re.match(r"^text_pooling/(clusters2?)$", path)
+  if m:
+    return f"text_pooling.{m.group(1)}", False
+  m = re.match(r"^text_pooling/batch_norm/bn/(scale|bias)$", path)
+  if m:
+    return (f"text_pooling.batch_norm."
+            f"{'weight' if m.group(1) == 'scale' else 'bias'}", False)
+  m = re.match(r"^moe_fc_(txt|vid)_(\w+)/(kernel|bias)$", path)
+  if m:
+    kind, mod, leaf = m.groups()
+    return (f"moe_fc_{kind}.{mod}.{'weight' if leaf == 'kernel' else 'bias'}",
+            leaf == "kernel")
+  if path == "word_embeddings/word_embeddings":
+    return "word_embeddings.word_embeddings.weight", False
+  return None
+
+
+def _export_stat_entry(path: str):
+  """Flax batch-stats path -> torch running-stat name, or None."""
+  m = re.match(r"^(text|video)_gu_(\w+)/cg/(batch_norm2?)/bn/(mean|var)$",
+               path)
+  if m:
+    kind, mod, bn, stat = m.groups()
+    return f"{kind}_GU.{mod}.cg.{bn}.running_{'mean' if stat == 'mean' else 'var'}"
+  m = re.match(r"^text_pooling/batch_norm/bn/(mean|var)$", path)
+  if m:
+    return f"text_pooling.batch_norm.running_{'mean' if m.group(1) == 'mean' else 'var'}"
+  return None
+
+
+def export_state_dict(params: dict, batch_stats: dict, *,
+                      with_pooler: bool = True, self_check: bool = True):
+  """Flax {params, batch_stats} -> reference torch state dict (numpy values).
+
+  Inverts the forward mapping: flax kernels [in,out] transpose back to
+  torch Linear [out,in]; LayerNorm scale/bias -> weight/bias; BatchNorm
+  batch_stats -> running_mean/running_var (+ num_batches_tracked=0); the
+  per-gate flax LSTM denses fuse back into torch's weight_ih_l<k>/
+  weight_hh_l<k> with gate rows ordered (i,f,g,o) — the converter stored
+  the summed torch biases on the hidden-side denses, so the export puts
+  the whole bias in bias_hh_l<k> and zeros in bias_ih_l<k> (numerically
+  identical: torch adds them).  `with_pooler` synthesizes the reference's
+  unused-but-present BertPooler tensors (model/bert.py:356,407 computes a
+  pooled output that nothing consumes) so `load_state_dict(strict=True)`
+  (base/base_trainer.py:432 with restart) finds every key.
+
+  Returns (state_dict, unexported) where unexported lists flax leaves with
+  no reference-side name.  When self_check is set, the exported dict is
+  pushed back through the FORWARD name map and every tensor must land on
+  the flax path it came from — any drift between the two directions raises.
+  """
+  flat_p = flatten_tree(jax_to_numpy(params))
+  flat_s = flatten_tree(jax_to_numpy(batch_stats))
+  sd: Dict[str, np.ndarray] = {}
+  sources: Dict[str, Tuple[str, bool]] = {}  # pseudo/torch name -> origin
+  lstm: Dict[Tuple[str, str], np.ndarray] = {}
+  unexported = []
+
+  for path, arr in flat_p.items():
+    m = _LSTM_RE.match(path)
+    if m:
+      layer, side, gate, leaf = m.groups()
+      lstm[(layer, f"{side}{gate}", leaf)] = arr
+      # Pseudo-key the forward splitter produces; checked below.
+      sources[f"text_pooling.lstm.l{layer}.{side}{gate}.{leaf}"] = (
+          path, leaf == "kernel")
+      continue
+    entry = _export_param_entry(path)
+    if entry is None:
+      unexported.append(path)
+      continue
+    name, transpose = entry
+    sd[name] = arr.T if transpose else arr
+    sources[name] = (path, transpose)
+
+  for path, arr in flat_s.items():
+    name = _export_stat_entry(path)
+    if name is None:
+      unexported.append(path)
+      continue
+    sd[name] = arr
+    sources[name] = (path, False)
+    base = name.rsplit(".", 1)[0]
+    sd.setdefault(f"{base}.num_batches_tracked", np.asarray(0, np.int64))
+
+  # Fuse per-gate LSTM tensors back into torch's packed layout.
+  layers = sorted({k[0] for k in lstm})
+  for layer in layers:
+    for side, prefix in (("ih", "i"), ("hh", "h")):
+      sd[f"text_pooling.lstm.weight_{side}_l{layer}"] = np.concatenate(
+          [lstm[(layer, f"{prefix}{g}", "kernel")].T for g in "ifgo"], axis=0)
+    hidden_bias = np.concatenate(
+        [lstm[(layer, f"h{g}", "bias")] for g in "ifgo"], axis=0)
+    sd[f"text_pooling.lstm.bias_hh_l{layer}"] = hidden_bias
+    sd[f"text_pooling.lstm.bias_ih_l{layer}"] = np.zeros_like(hidden_bias)
+
+  if with_pooler:
+    for tower in ("txt_bert", "vid_bert"):
+      scale = flat_p.get(f"{tower}/embeddings_ln/scale")
+      if scale is not None:
+        h = scale.shape[0]
+        sd[f"{tower}.pooler.dense.weight"] = np.eye(h, dtype=np.float32)
+        sd[f"{tower}.pooler.dense.bias"] = np.zeros(h, np.float32)
+
+  if self_check:
+    split = _split_lstm_tensors(sd)
+    params_map, stats_map = build_name_map(split)
+    for name in split:
+      if "pooler" in name or "num_batches_tracked" in name:
+        continue
+      if name in params_map:
+        got = params_map[name]
+      elif name in stats_map:
+        got = (stats_map[name], False)
+      else:
+        raise AssertionError(f"export/import drift: {name} has no forward "
+                             "mapping")
+      want = sources.get(name)
+      if want is None or got != want:
+        raise AssertionError(
+            f"export/import drift at {name}: forward maps to {got}, "
+            f"exported from {want}")
+  return sd, unexported
+
+
 def main():
   parser = argparse.ArgumentParser()
   parser.add_argument("--config", required=True)
@@ -321,17 +525,47 @@ def main():
 
   cfg = config_lib.load(args.config)
   expert_dims = compute_dims(cfg.raw)
-  model = CENet(expert_dims=expert_dims, **cfg.arch_args)
+
+  # train.py injects the tokenizer's vocab_size into a custom
+  # text_bert_geometry (train.py:170-178); mirror that here from the
+  # checkpoint itself — its word table IS the vocab — so the target tree
+  # matches and the embeddings land instead of being shape-skipped.
+  arch_args = {k: v for k, v in cfg.arch_args.items()
+               if k not in ("vocab_size", "txt_bert_init")}
+  txt_words = state_dict.get("txt_bert.embeddings.word_embeddings.weight")
+  geom = dict(arch_args.get("text_bert_geometry") or {})
+  if geom and txt_words is not None:
+    geom.setdefault("vocab_size", txt_words.shape[0])
+    arch_args["text_bert_geometry"] = geom
+  we_words = state_dict.get("word_embeddings.word_embeddings.weight")
+  if we_words is not None:
+    arch_args.setdefault("we_vocab_size", we_words.shape[0])
+    arch_args.setdefault("we_dim", we_words.shape[1])
+  model = CENet(expert_dims=expert_dims, **arch_args)
 
   # Shape-only init from a dummy batch.
   from tests.conftest import make_batch  # reuse the schema builder
-  batch = make_batch(expert_dims, b=2, k=1, t=8, l=4, vocab=28996)
+  vocab = int(txt_words.shape[0]) if txt_words is not None else 28996
+  batch = make_batch(expert_dims, b=2, k=1, t=8, l=4,
+                     vocab=min(vocab, 28996))
   variables = model.init(
       {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
       batch, train=False)
 
   params, batch_stats, _ = convert_state_dict(
       state_dict, variables["params"], variables.get("batch_stats", {}))
+
+  # The word table is the one tensor a silent shape-skip would leave
+  # random (everything else is geometry-checked by the config); fail loud.
+  key = "txt_bert.embeddings.word_embeddings.weight"
+  if key in state_dict:
+    got = np.asarray(params["txt_bert"]["word_embeddings"]["embedding"])
+    if got.shape != state_dict[key].shape or not np.array_equal(
+        got, np.asarray(state_dict[key], got.dtype)):
+      logger.error("txt word embeddings did not land (%s vs %s) — the "
+                   "model geometry does not match the checkpoint",
+                   got.shape, state_dict[key].shape)
+      sys.exit(1)
 
   state = {
       "params": params,
