@@ -84,6 +84,78 @@ def batch_sharding(mesh: Mesh):
   return NamedSharding(mesh, P("data"))
 
 
+def model_axis_size(mesh: Optional[Mesh]) -> int:
+  if mesh is None:
+    return 1
+  return int(mesh.shape.get("model", 1))
+
+
+def param_shardings(mesh: Mesh, params):
+  """Megatron-style tensor-parallel shardings for the transformer params.
+
+  The reference has no tensor parallelism (SURVEY.md §2.2 — the ~133M
+  model fits one chip); this is the TPU-native scale-up path the 'model'
+  mesh axis exists for.  Per transformer layer:
+
+  * ``ffn_inter``  — column-parallel: kernel [D, I] shards I, bias
+    shards, the GELU runs on the shard;
+  * ``ffn_out``    — row-parallel: kernel [I, D] shards I, XLA inserts
+    the psum over 'model' after the contraction; bias replicated;
+  * ``query/key/value`` — column-parallel over the head-output dim, i.e.
+    head-parallel: the [B,S,D]→[B,H,S,dh] head split downstream keeps
+    the shard on H (heads-per-chip = H / model_parallel);
+  * ``attn_out``   — row-parallel, closing the attention block with one
+    psum.
+
+  Everything else (embeddings, LayerNorms, gated units, MoE heads) is
+  replicated — they are a small fraction of bytes and sit on the psum'd
+  activations.  A dim that does not divide the 'model' axis stays
+  replicated (GSPMD would otherwise pad-and-mask, costing more than it
+  saves at these widths).
+
+  These are *placement hints*: correctness never depends on them (GSPMD
+  reshards as needed); they decide where the FLOPs and bytes land.
+  """
+  import jax.tree_util as jtu
+
+  mp = model_axis_size(mesh)
+  col = NamedSharding(mesh, P(None, "model"))   # shard output features
+  row = NamedSharding(mesh, P("model", None))   # shard input features
+  vec = NamedSharding(mesh, P("model"))
+  rep = NamedSharding(mesh, P())
+
+  def spec(path, leaf):
+    if mp <= 1 or leaf.ndim == 0:
+      return rep
+    names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
+    mod = names[-2] if len(names) >= 2 else ""
+    kind = names[-1]
+    if mod in ("ffn_inter", "query", "key", "value"):
+      if kind == "kernel" and leaf.ndim == 2 and leaf.shape[1] % mp == 0:
+        return col
+      if kind == "bias" and leaf.ndim == 1 and leaf.shape[0] % mp == 0:
+        return vec
+    if mod in ("ffn_out", "attn_out"):
+      if kind == "kernel" and leaf.ndim == 2 and leaf.shape[0] % mp == 0:
+        return row
+    return rep
+
+  return jtu.tree_map_with_path(spec, params)
+
+
+def shard_params(mesh: Optional[Mesh], params):
+  """Place params per ``param_shardings`` (single-process TP placement).
+
+  Multi-process promotion goes through ``_global_put`` with the same
+  specs so every process contributes only its addressable shards."""
+  if mesh is None or model_axis_size(mesh) <= 1:
+    return params
+  specs = param_shardings(mesh, params)
+  if jax.process_count() > 1:
+    return jax.tree_util.tree_map(_global_put, params, specs)
+  return jax.tree_util.tree_map(jax.device_put, params, specs)
+
+
 def _global_put(x, sharding):
   """Host value -> global jax.Array on a (possibly multi-process) mesh.
 

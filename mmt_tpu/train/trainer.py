@@ -139,6 +139,17 @@ class Trainer:
     self.device_metrics = device_metrics
 
     cfg_trainer = config["trainer"]
+    # Validated up front (fail fast, before any filesystem/writer setup):
+    # model_parallel > 1 carves a Megatron-style 'model' axis out of the
+    # devices (parallel/mesh.py:param_shardings) — a scale-up hook the
+    # reference has no analogue of (SURVEY.md §2.2 marks TP as absent).
+    self.model_parallel = int(cfg_trainer.get(
+        "model_parallel", os.environ.get("MMT_TPU_MODEL_PARALLEL", 1)))
+    if self.model_parallel > 1 and self.multiprocess:
+      raise ValueError(
+          "model_parallel > 1 is single-process (multi-chip) only: the "
+          "checkpoint writer snapshots addressable arrays, and a 'model' "
+          "axis spanning hosts would put FFN psums on DCN")
     self.epochs = cfg_trainer["epochs"]
     self.save_period = cfg_trainer.get("save_period", 1)
     self.max_samples_per_epoch = cfg_trainer.get("max_samples_per_epoch",
@@ -201,18 +212,34 @@ class Trainer:
     self.n_samples = 0
     self.n_steps = 0
 
-    # Mesh / sharding.  The train batch must divide the mesh (the loss is
-    # defined over the global batch); fall back to replication otherwise.
-    self.mesh = mesh_lib.data_mesh() if use_mesh else None
+    # Mesh / sharding.  The train batch must divide the mesh's data axis
+    # (the loss is defined over the global batch); fall back to
+    # replication otherwise.
+    self.mesh = (mesh_lib.data_mesh(model_parallel=self.model_parallel)
+                 if use_mesh else None)
     if self.mesh is not None:
-      mesh_n = int(np.prod(self.mesh.devices.shape))
+      data_n = int(self.mesh.shape["data"])
       train_sets = self.data_loaders.get("train_sets") or []
-      if any(e.batch_size % mesh_n for e in train_sets):
+      if any(e.batch_size % data_n for e in train_sets):
         logger.warning(
-            "train batch size not divisible by %d devices; "
+            "train batch size not divisible by the %d-way data axis; "
             "running replicated (set batch_size to a multiple to shard)",
-            mesh_n)
+            data_n)
         self.mesh = None
+    if mesh_lib.model_axis_size(self.mesh) > 1:
+      logger.info("tensor parallel: %d-way 'model' axis "
+                  "(column/row-parallel FFN, head-parallel attention)",
+                  mesh_lib.model_axis_size(self.mesh))
+      from mmt_tpu.ops import ffn as ffn_ops
+      if ffn_ops._USE_PALLAS:
+        # Correct but not TP-efficient: the fused FFN kernel's partition
+        # rule (ops/ffn.py:_row_sharded) shards batch rows and REPLICATES
+        # weights, so GSPMD all-gathers the model-sharded FFN weights at
+        # each kernel call.  The XLA path is the TP-sharded one.
+        logger.warning("Pallas FFN kernel active under tensor parallelism:"
+                       " its partition rule replicates weights; prefer the"
+                       " XLA FFN path (unset MMT_TPU_PALLAS_FFN) under a"
+                       " model axis")
     # Both the FFN and the similarity Pallas kernels carry
     # custom_partitioning rules (ops/ffn.py:_row_sharded,
     # ops/similarity.py:_fused_sim_fn), so they stay enabled under the
@@ -424,7 +451,16 @@ class Trainer:
     word embeddings, freeze-mask optimizer rebuild, train.py).
     Idempotent; no-op single-process.
     """
-    if self.mesh is None or not self.multiprocess:
+    if self.mesh is None:
+      return
+    if mesh_lib.model_axis_size(self.mesh) > 1:
+      # Tensor parallel: place params per their Megatron-style specs
+      # (idempotent; a device_put onto the sharding an array already has
+      # is a no-op).  Optimizer state is left as-is — GSPMD propagates
+      # the param shardings through tx.update, so mu/nu settle onto the
+      # same layout after the first step.
+      self.params = mesh_lib.shard_params(self.mesh, self.params)
+    if not self.multiprocess:
       return
     self.params = mesh_lib.replicate_tree(self.mesh, self.params)
     self.batch_stats = mesh_lib.replicate_tree(self.mesh, self.batch_stats)

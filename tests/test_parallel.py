@@ -1,6 +1,8 @@
 """Data-parallel correctness: the sharded step equals the single-device
 step (global-batch negative semantics, SURVEY.md §2.2)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -707,3 +709,118 @@ def test_fused_retrieval_metrics_sharded_matches_unsharded():
     for key in want[which]:
       np.testing.assert_allclose(got[which][key], want[which][key],
                                  rtol=1e-6, err_msg=f"{which}/{key}")
+
+
+# ----------------------------------------------------------------------
+# Tensor parallelism (the 'model' mesh axis; parallel/mesh.py:
+# param_shardings).  The reference has none (SURVEY.md §2.2) — this is
+# the TPU-native scale-up path for larger towers.
+# ----------------------------------------------------------------------
+
+def test_tensor_parallel_grads_match_single_device(tiny_arch):
+  """Megatron-placed params on a 4x2 (data x model) mesh: loss and grads
+  equal the single-device computation (GSPMD inserts the FFN/attention
+  psums; correctness must not depend on the placement hints)."""
+  model = CENet(**tiny_arch)
+  batch = make_batch(tiny_arch["expert_dims"], b=8)
+  variables = model.init(
+      {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+      batch, train=False)
+  loss_fn = max_margin_ranking_loss(0.05, True)
+
+  def compute(params, batch):
+    out = model.apply({"params": params,
+                       "batch_stats": variables["batch_stats"]},
+                      batch, train=False)
+    return loss_fn(similarity_from_outputs(out, merge="avg"))
+
+  grad_fn = jax.value_and_grad(compute)
+  loss_1, grads_1 = jax.jit(grad_fn)(variables["params"], batch)
+
+  mesh = mesh_lib.data_mesh(model_parallel=2)
+  assert mesh.devices.shape == (4, 2)
+  specs = mesh_lib.param_shardings(mesh, variables["params"])
+  spec_strs = [str(s.spec) for s in jax.tree_util.tree_leaves(specs)]
+  # The Megatron split actually engages: column kernels (ffn_inter +
+  # q/k/v), their biases, and row kernels (ffn_out + attn_out) for
+  # 2 txt + 2 vid layers.
+  assert spec_strs.count("PartitionSpec(None, 'model')") == 16
+  assert spec_strs.count("PartitionSpec('model', None)") == 8
+  assert spec_strs.count("PartitionSpec('model',)") == 16
+
+  tp_params = mesh_lib.shard_params(mesh, variables["params"])
+  sharded_batch = jax.tree_util.tree_map(
+      lambda x: jax.device_put(x, mesh_lib.batch_sharding(mesh)), batch)
+  loss_tp, grads_tp = jax.jit(grad_fn)(tp_params, sharded_batch)
+
+  np.testing.assert_allclose(float(loss_1), float(loss_tp), rtol=1e-5)
+  for a, b in zip(jax.tree_util.tree_leaves(grads_1),
+                  jax.tree_util.tree_leaves(grads_tp)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_tensor_parallel_trainer_e2e(tmp_path_factory):
+  """Full CLI run with trainer.model_parallel=2 (4x2 mesh): training
+  completes with TP-placed params, checkpoints save from the sharded
+  arrays, and an UNSHARDED --only_eval of the saved checkpoint
+  reproduces the TP run's final-eval similarity matrix.
+
+  The comparison is deliberately forward-only: comparing two *training
+  trajectories* (TP vs unsharded) is unstable by nature here — Adam
+  amplifies the ~1e-8 collective-noise gradient differences on
+  degenerate leaves into ±lr walks (see the 2-process e2e test's atol
+  rationale) — while the eval forward from one set of weights is
+  deterministic across layouts up to fp32 reduction order."""
+  import json
+
+  import train as train_cli
+  from mmt_tpu.data import synthetic
+  from tests.test_train_e2e import make_config
+
+  root = tmp_path_factory.mktemp("tp_e2e")
+  data_dir = synthetic.generate(root, num_videos=14, num_test=6,
+                                experts={"rgb": 2048, "s3d": 1024},
+                                captions_per_video=3)
+  os.environ["MMT_TPU_BERT_VOCAB"] = str(root / "vocab.txt")
+
+  exp_tp = tmp_path_factory.mktemp("tp_exp") / "run"
+  cfg = make_config(root, data_dir, exp_tp)
+  cfg["trainer"]["model_parallel"] = 2
+  cfg_path = root / "tp.json"
+  cfg_path.write_text(json.dumps(cfg))
+  trainer = train_cli.main(["--config", str(cfg_path)])
+  assert trainer.mesh is not None
+  assert mesh_lib.model_axis_size(trainer.mesh) == 2
+  assert trainer.mesh.devices.shape == (4, 2)
+  # Params really are TP-placed (not silently replicated).
+  kernels = trainer.params["txt_bert"]["encoder"]["layer_0"]
+  assert "model" in str(kernels["ffn_inter"]["kernel"].sharding.spec)
+  assert (exp_tp / "trained_model.msgpack").exists()
+  sims_tp = np.load(exp_tp / "MSRVTT-test-sims.npy",
+                    allow_pickle=True).item()["sims"]
+
+  # Unsharded re-eval of the TP-trained checkpoint.
+  exp_ev = exp_tp.parent / "eval_unsharded"
+  cfg2 = make_config(root, data_dir, exp_ev)
+  cfg2_path = root / "tp_eval.json"
+  cfg2_path.write_text(json.dumps(cfg2))
+  train_cli.main(["--config", str(cfg2_path), "--only_eval",
+                  "--load_checkpoint",
+                  str(exp_tp / "trained_model.msgpack")])
+  sims_ev = np.load(exp_ev / "MSRVTT-test-sims.npy",
+                    allow_pickle=True).item()["sims"]
+  np.testing.assert_allclose(sims_tp, sims_ev, rtol=1e-4, atol=1e-5)
+
+
+def test_tensor_parallel_rejects_multiprocess(tiny_arch, monkeypatch):
+  """model_parallel > 1 across processes must fail loudly at
+  construction (checkpoint snapshots need addressable arrays)."""
+  from mmt_tpu.train.trainer import Trainer
+
+  monkeypatch.setattr(jax, "process_count", lambda: 2)
+  with pytest.raises(ValueError, match="model_parallel"):
+    Trainer(model=None, loss_fn=None, metrics=[], tx=None, base_lr=1e-3,
+            config={"trainer": {"epochs": 1, "model_parallel": 2,
+                                "save_dir": "/tmp/unused"}},
+            data_loaders={}, lr_schedule=None)
