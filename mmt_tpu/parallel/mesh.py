@@ -72,7 +72,10 @@ def data_mesh(devices=None, model_parallel: int = 1) -> Optional[Mesh]:
   n = len(devices)
   if n <= 1:
     return None
-  assert n % model_parallel == 0
+  if n % model_parallel:
+    raise ValueError(
+        f"model_parallel={model_parallel} does not divide the "
+        f"{n} visible devices")
   dev_array = np.asarray(devices).reshape(n // model_parallel,
                                           model_parallel)
   return Mesh(dev_array, axis_names=("data", "model"))
@@ -90,7 +93,7 @@ def model_axis_size(mesh: Optional[Mesh]) -> int:
   return int(mesh.shape.get("model", 1))
 
 
-def param_shardings(mesh: Mesh, params):
+def param_shardings(mesh: Mesh, params, num_heads=None):
   """Megatron-style tensor-parallel shardings for the transformer params.
 
   The reference has no tensor parallelism (SURVEY.md §2.2 — the ~133M
@@ -113,6 +116,14 @@ def param_shardings(mesh: Mesh, params):
   replicated (GSPMD would otherwise pad-and-mask, costing more than it
   saves at these widths).
 
+  ``num_heads``, when given, maps top-level tower names ('txt_bert',
+  'vid_bert') to their attention head counts: q/k/v/attn_out shard only
+  when the head count ALSO divides the axis, because the attention
+  apply reshapes the flat [D, D] kernels head-major ([D, H, dh],
+  models/bert.py) and a shard boundary inside a head would make GSPMD
+  reshard through the reshape every layer.  Without head info the check
+  falls back to dim divisibility alone.
+
   These are *placement hints*: correctness never depends on them (GSPMD
   reshards as needed); they decide where the FLOPs and bytes land.
   """
@@ -124,12 +135,20 @@ def param_shardings(mesh: Mesh, params):
   vec = NamedSharding(mesh, P("model"))
   rep = NamedSharding(mesh, P())
 
+  def heads_ok(tower):
+    if num_heads is None or tower not in num_heads:
+      return True
+    return num_heads[tower] % mp == 0
+
   def spec(path, leaf):
     if mp <= 1 or leaf.ndim == 0:
       return rep
     names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
     mod = names[-2] if len(names) >= 2 else ""
     kind = names[-1]
+    attn = mod in ("query", "key", "value", "attn_out")
+    if attn and not heads_ok(names[0]):
+      return rep
     if mod in ("ffn_inter", "query", "key", "value"):
       if kind == "kernel" and leaf.ndim == 2 and leaf.shape[1] % mp == 0:
         return col
@@ -143,16 +162,15 @@ def param_shardings(mesh: Mesh, params):
   return jtu.tree_map_with_path(spec, params)
 
 
-def shard_params(mesh: Optional[Mesh], params):
-  """Place params per ``param_shardings`` (single-process TP placement).
+def shard_params(mesh: Optional[Mesh], params, num_heads=None):
+  """Place params per ``param_shardings``.
 
-  Multi-process promotion goes through ``_global_put`` with the same
-  specs so every process contributes only its addressable shards."""
+  Single-process only, like tensor parallelism itself (the Trainer
+  rejects a 'model' axis under multiprocess — per-layer psums must not
+  ride DCN, and checkpoint snapshots need addressable arrays)."""
   if mesh is None or model_axis_size(mesh) <= 1:
     return params
-  specs = param_shardings(mesh, params)
-  if jax.process_count() > 1:
-    return jax.tree_util.tree_map(_global_put, params, specs)
+  specs = param_shardings(mesh, params, num_heads=num_heads)
   return jax.tree_util.tree_map(jax.device_put, params, specs)
 
 

@@ -226,12 +226,22 @@ class Trainer:
             "running replicated (set batch_size to a multiple to shard)",
             data_n)
         self.mesh = None
+    if self.model_parallel > 1 and mesh_lib.model_axis_size(self.mesh) <= 1:
+      # An explicitly requested capability must not silently degrade to
+      # replicated training (the data-axis fallback above, or too few
+      # visible devices, both end with mesh=None).
+      raise ValueError(
+          f"model_parallel={self.model_parallel} was requested but cannot "
+          f"be honored: {len(jax.devices())} visible device(s), and the "
+          f"train batch size must divide the data axis "
+          f"(devices / model_parallel). Fix the config or unset "
+          f"model_parallel")
     if mesh_lib.model_axis_size(self.mesh) > 1:
       logger.info("tensor parallel: %d-way 'model' axis "
                   "(column/row-parallel FFN, head-parallel attention)",
                   mesh_lib.model_axis_size(self.mesh))
       from mmt_tpu.ops import ffn as ffn_ops
-      if ffn_ops._USE_PALLAS:
+      if ffn_ops.pallas_active():
         # Correct but not TP-efficient: the fused FFN kernel's partition
         # rule (ops/ffn.py:_row_sharded) shards batch rows and REPLICATES
         # weights, so GSPMD all-gathers the model-sharded FFN weights at
@@ -442,6 +452,26 @@ class Trainer:
       self._embed_step_fn = self._build_embed_step()
     return self._embed_step_fn
 
+  def _tp_num_heads(self):
+    """Tower -> attention head count, for head-aligned TP shardings.
+
+    Mirrors CENet's geometry resolution (models/cenet.py:94-106; flax
+    setup() attributes are not readable from outside apply, so this
+    recomputes from the constructor fields).  Missing towers (non-bert
+    txt_agg) are simply absent — param_shardings only consults the keys
+    that exist in the tree."""
+    from mmt_tpu.config import TEXT_BERT_BASE_CASED
+    heads = {}
+    vid = dict(getattr(self.model, "vid_bert_params", {}) or {})
+    if "num_attention_heads" in vid:
+      heads["vid_bert"] = int(vid["num_attention_heads"])
+    txt = int(TEXT_BERT_BASE_CASED.num_attention_heads)
+    geom = dict(getattr(self.model, "text_bert_geometry", None) or {})
+    txt = int(geom.get("num_attention_heads", txt))
+    overrides = dict(getattr(self.model, "txt_bert_params", None) or {})
+    heads["txt_bert"] = int(overrides.get("num_attention_heads", txt))
+    return heads
+
   def _ensure_global_state(self):
     """Multi-process: promote host-side state to replicated global arrays.
 
@@ -459,7 +489,8 @@ class Trainer:
       # is a no-op).  Optimizer state is left as-is — GSPMD propagates
       # the param shardings through tx.update, so mu/nu settle onto the
       # same layout after the first step.
-      self.params = mesh_lib.shard_params(self.mesh, self.params)
+      self.params = mesh_lib.shard_params(self.mesh, self.params,
+                                          num_heads=self._tp_num_heads())
     if not self.multiprocess:
       return
     self.params = mesh_lib.replicate_tree(self.mesh, self.params)

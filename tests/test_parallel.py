@@ -824,3 +824,60 @@ def test_tensor_parallel_rejects_multiprocess(tiny_arch, monkeypatch):
             config={"trainer": {"epochs": 1, "model_parallel": 2,
                                 "save_dir": "/tmp/unused"}},
             data_loaders={}, lr_schedule=None)
+
+
+def test_tensor_parallel_head_alignment():
+  """q/k/v/attn_out shard only when the head count divides the model
+  axis: the attention apply reshapes the flat [D, D] kernels head-major
+  (models/bert.py), so a shard boundary inside a head would force GSPMD
+  to reshard through the reshape every layer.  FFN sharding is
+  unaffected (no head structure)."""
+  mesh = mesh_lib.data_mesh(model_parallel=8)   # 1x8 on the virtual mesh
+  layer = {"query": {"kernel": np.zeros((24, 24)), "bias": np.zeros(24)},
+           "attn_out": {"kernel": np.zeros((24, 24)), "bias": np.zeros(24)},
+           "ffn_inter": {"kernel": np.zeros((24, 96)), "bias": np.zeros(96)},
+           "ffn_out": {"kernel": np.zeros((96, 24)), "bias": np.zeros(24)}}
+  tree = {"txt_bert": {"encoder": {"layer_0": layer}}}
+
+  # 12 heads % 8 != 0 -> attention stays replicated, FFN still shards.
+  s = mesh_lib.param_shardings(mesh, tree, num_heads={"txt_bert": 12})
+  lay = s["txt_bert"]["encoder"]["layer_0"]
+  assert str(lay["query"]["kernel"].spec) == "PartitionSpec()"
+  assert str(lay["attn_out"]["kernel"].spec) == "PartitionSpec()"
+  assert str(lay["ffn_inter"]["kernel"].spec) == "PartitionSpec(None, 'model')"
+  assert str(lay["ffn_out"]["kernel"].spec) == "PartitionSpec('model', None)"
+
+  # 8 heads divide -> attention shards too.
+  s = mesh_lib.param_shardings(mesh, tree, num_heads={"txt_bert": 8})
+  lay = s["txt_bert"]["encoder"]["layer_0"]
+  assert str(lay["query"]["kernel"].spec) == "PartitionSpec(None, 'model')"
+  assert str(lay["attn_out"]["kernel"].spec) == "PartitionSpec('model', None)"
+
+
+def test_tensor_parallel_unsatisfiable_request_raises(tmp_path_factory):
+  """An explicit model_parallel request that cannot be honored (train
+  batch does not divide the data axis) must raise, not silently run
+  replicated."""
+  import json
+
+  import train as train_cli
+  from mmt_tpu.data import synthetic
+  from tests.test_train_e2e import make_config
+
+  root = tmp_path_factory.mktemp("tp_bad")
+  data_dir = synthetic.generate(root, num_videos=8, num_test=4,
+                                experts={"rgb": 2048, "s3d": 1024},
+                                captions_per_video=2)
+  os.environ["MMT_TPU_BERT_VOCAB"] = str(root / "vocab.txt")
+  cfg = make_config(root, data_dir, root / "exp")
+  cfg["trainer"]["model_parallel"] = 2
+  cfg["train_sets"][0]["args"]["batch_size"] = 3   # 3 % 4 != 0
+  cfg_path = root / "bad.json"
+  cfg_path.write_text(json.dumps(cfg))
+  with pytest.raises(ValueError, match="model_parallel=2 was requested"):
+    train_cli.main(["--config", str(cfg_path)])
+
+
+def test_data_mesh_rejects_nondivisible_model_parallel():
+  with pytest.raises(ValueError, match="does not divide"):
+    mesh_lib.data_mesh(model_parallel=3)
