@@ -42,6 +42,48 @@ from mmt_tpu.ops import similarity as similarity_ops
 CLS_ID, AGG_ID, FEA_ID = 0, 2, 6
 
 
+def cenet_kwargs_from_arch_args(arch_args, tokenizer):
+  """CENet constructor kwargs from an experiment's ``arch.args``.
+
+  The single place where config-surface knobs become constructor
+  arguments — train.py and scripts/serve.py MUST build the model through
+  this (a divergence here means serving silently loads a checkpoint into
+  a differently-shaped tree; the word-embedding rows then keep their
+  random init).  Handles:
+
+  * reference-inert keys dropped (``vocab_size`` — the reference also
+    only reads it for its word-embedding path);
+  * ``txt_bert_init`` extracted and RETURNED (training-only knob, not a
+    CENet argument);
+  * ``compute_dtype`` string -> jnp dtype;
+  * text vocab sizing from the tokenizer: bert towers get
+    ``text_bert_geometry.vocab_size`` (when a custom geometry or
+    MMT_TPU_BERT_VOCAB is in play), word-embedding paths get
+    ``we_vocab_size``/``we_dim`` — mirroring the reference, where the
+    HF tokenizer and pretrained tower agree by construction
+    (model/model.py:161, utils/nlp_utils.py:19-42).
+
+  Returns ``(kwargs, txt_bert_init_path_or_None)``.
+  """
+  import os
+
+  kwargs = {k: v for k, v in dict(arch_args).items()
+            if k not in ("vocab_size",)}
+  txt_bert_init = kwargs.pop("txt_bert_init", None)
+  if "compute_dtype" in kwargs:
+    kwargs["compute_dtype"] = jnp.dtype(kwargs["compute_dtype"])
+  if tokenizer is not None and hasattr(tokenizer, "vocab_size"):
+    geom = dict(kwargs.get("text_bert_geometry") or {})
+    if dict(arch_args).get("txt_agg", "bert")[:4] != "bert":
+      kwargs.setdefault("we_vocab_size", tokenizer.vocab_size)
+      if hasattr(tokenizer, "text_dim"):
+        kwargs.setdefault("we_dim", tokenizer.text_dim)
+    elif "vocab_size" in geom or os.environ.get("MMT_TPU_BERT_VOCAB"):
+      geom.setdefault("vocab_size", tokenizer.vocab_size)
+      kwargs["text_bert_geometry"] = geom
+  return kwargs, txt_bert_init
+
+
 class CENet(nn.Module):
   """Cross-modal video/text retrieval network."""
   expert_dims: Mapping[str, Mapping[str, int]]   # name -> {dim, idx} (sorted)

@@ -190,8 +190,10 @@ class RetrievalEngine:
     return np.stack(rows, 0)[:, None].astype(np.int32)   # [B, 1, T, 2]
 
   def search(self, texts: Sequence[str], topk: int = 5) -> List[List[Dict]]:
+    if int(topk) <= 0 or len(self.index) == 0:
+      return [[] for _ in texts]   # "no results" probe, not "at least one"
     token_ids = self.encode_queries(texts)
-    k_req = max(1, min(int(topk), len(self.index)))
+    k_req = min(int(topk), len(self.index))
     # Bucket the compiled shapes: batch rows pad up to the next power of
     # two (pad queries are all-zero token rows — fully masked attention
     # is uniform, not NaN — and their results are sliced away), k rounds

@@ -287,7 +287,8 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray], params: dict,
     else:
       skipped.append(name)
   unmapped = [name for name in skipped
-              if "pooler" not in name and "num_batches_tracked" not in name]
+              if "pooler" not in name and "num_batches_tracked" not in name
+              and not name.endswith("position_ids")]
   for name in unmapped:
     logger.warning("no mapping for %s", name)
   logger.info("converted %d tensors (%d without mapping)", used,
@@ -482,12 +483,23 @@ def export_state_dict(params: dict, batch_stats: dict, *,
         h = scale.shape[0]
         sd[f"{tower}.pooler.dense.weight"] = np.eye(h, dtype=np.float32)
         sd[f"{tower}.pooler.dense.bias"] = np.zeros(h, np.float32)
+    # transformers==3.1.0 (the reference's pin, requirements.txt:42)
+    # registers position_ids as a PERSISTENT buffer on BertEmbeddings,
+    # so it is present in every reference-saved state dict and a
+    # strict restart load (base/base_trainer.py:433) requires it.  The
+    # reference's own from-scratch vid_bert (model/bert.py) has no such
+    # buffer.
+    pos = flat_p.get("txt_bert/position_embeddings/embedding")
+    if pos is not None:
+      sd["txt_bert.embeddings.position_ids"] = np.arange(
+          pos.shape[0], dtype=np.int64)[None]
 
   if self_check:
     split = _split_lstm_tensors(sd)
     params_map, stats_map = build_name_map(split)
     for name in split:
-      if "pooler" in name or "num_batches_tracked" in name:
+      if ("pooler" in name or "num_batches_tracked" in name
+          or name.endswith("position_ids")):
         continue
       if name in params_map:
         got = params_map[name]

@@ -10,8 +10,9 @@ the reference's state-dict names):
 
 The emitted file matches the reference's own save format
 (base/base_trainer.py:348-374): {'arch', 'epoch', 'state_dict',
-'monitor_best', 'config'}, with torch tensors in state_dict, synthesized
-(unused) pooler weights and num_batches_tracked counters so
+'monitor_best', 'config', 'n_samples', 'n_steps'}, with torch tensors in
+state_dict, synthesized (unused) pooler weights, num_batches_tracked
+counters and the transformers-3.1.0 position_ids buffer so
 `load_state_dict(strict=True)` succeeds, and no optimizer state (the
 reference only reads it on resume, guarded at base/base_trainer.py:442).
 
@@ -66,10 +67,22 @@ def main():
     with open(args.config) as f:
       config = json.load(f)
   else:
-    try:
-      config = json.loads(state.get("config", "{}") or "{}")
-    except (TypeError, ValueError):
-      config = {}
+    stored = state.get("config")
+    if isinstance(stored, dict):
+      config = stored
+    else:
+      try:
+        config = json.loads(stored) if stored else None
+      except (TypeError, ValueError):
+        config = None
+  if not isinstance(config, dict) or "arch" not in config:
+    # The reference resume reads checkpoint['config']['arch'] (and on
+    # restart ['optimizer']['type'] / ['lr_scheduler']['type'])
+    # UNCONDITIONALLY (base/base_trainer.py:408-441) — emitting a file
+    # without a usable config would crash it before any weights load.
+    logger.error("no usable experiment config (with an 'arch' entry) "
+                 "stored in the msgpack; pass --config <experiment.json>")
+    sys.exit(1)
 
   import numpy as np
   import torch
@@ -86,6 +99,10 @@ def main():
       "state_dict": {k: to_torch(v) for k, v in sd.items()},
       "monitor_best": float(state.get("monitor_best", 0) or 0),
       "config": config,
+      # The reference resume reads both unconditionally
+      # (base/base_trainer.py:414-415).
+      "n_samples": int(state.get("n_samples", 0) or 0),
+      "n_steps": int(state.get("n_steps", 0) or 0),
   }
   torch.save(out, args.out)
   logger.info("wrote %s (%d tensors, epoch %d)", args.out, len(sd),

@@ -42,7 +42,13 @@ def load_model_and_loader(config_path, checkpoint_path):
   cfg = config_lib.load(config_path)
   expert_dims = compute_dims(cfg.raw)
   tokenizer = create_tokenizer(cfg.arch_args.get("txt_agg", "bertftn"))
-  model = CENet(expert_dims=expert_dims, **cfg.arch_args)
+  # Same constructor path as train.py — a raw CENet(**arch_args) here
+  # would size the text vocab differently from training whenever a
+  # custom vocab/geometry is in play, and the checkpoint's embedding
+  # rows would silently keep their random init.
+  from mmt_tpu.models.cenet import cenet_kwargs_from_arch_args
+  model_kwargs, _ = cenet_kwargs_from_arch_args(cfg.arch_args, tokenizer)
+  model = CENet(expert_dims=expert_dims, **model_kwargs)
 
   entry = build("data_loader", cfg["final_eval_sets"][0],
                 raw_input_dims=expert_dims, training=False,

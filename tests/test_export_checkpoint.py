@@ -5,9 +5,11 @@ exact inverse of the forward converter for every leaf family, across the
 txt_agg/vid_cont variants that change the parameter tree shape, and the
 CLI (scripts/export_checkpoint.py) must emit a file shaped like the
 reference's own saves (base/base_trainer.py:348-374) including the
-strict-load-only tensors (pooler, num_batches_tracked)."""
+strict-load-only tensors (pooler, num_batches_tracked, and the
+transformers-3.1.0 position_ids buffer)."""
 
 import json
+import os
 import subprocess
 import sys
 
@@ -15,7 +17,8 @@ import jax
 import numpy as np
 import pytest
 
-sys.path.insert(0, "scripts")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "scripts"))
 from convert_checkpoint import convert_state_dict, export_state_dict  # noqa: E402
 
 from mmt_tpu.models.cenet import CENet  # noqa: E402
@@ -90,6 +93,14 @@ def test_export_strict_load_tensors(tiny_arch):
   n_bn = sum(1 for k in sd if k.endswith("num_batches_tracked"))
   n_mean = sum(1 for k in sd if k.endswith("running_mean"))
   assert n_bn == n_mean > 0
+  # transformers==3.1.0 registers position_ids as a persistent buffer on
+  # the text tower, so the reference's strict restart load requires it;
+  # the reference's own vid_bert has no such buffer.
+  pos_ids = sd["txt_bert.embeddings.position_ids"]
+  max_pos = tiny_arch["text_bert_geometry"]["max_position_embeddings"]
+  assert pos_ids.shape == (1, max_pos) and pos_ids.dtype == np.int64
+  np.testing.assert_array_equal(pos_ids[0], np.arange(max_pos))
+  assert "vid_bert.embeddings.position_ids" not in sd
 
 
 def test_export_torch_lstm_numerics(rng):
@@ -146,6 +157,8 @@ def test_export_cli_roundtrip(tiny_arch, tmp_path):
       "monitor_best": 24.5,
       "config": json.dumps({"arch": {"type": "CENet"}}),
       "arch": "CENet",
+      "n_samples": 224,
+      "n_steps": 56,
   }
   msgpack = tmp_path / "model.msgpack"
   msgpack.write_bytes(serialization.to_bytes(state))
@@ -160,6 +173,10 @@ def test_export_cli_roundtrip(tiny_arch, tmp_path):
   assert ckpt["arch"] == "CENet" and ckpt["epoch"] == 7
   assert ckpt["monitor_best"] == 24.5
   assert ckpt["config"] == {"arch": {"type": "CENet"}}
+  # The reference resume reads these unconditionally
+  # (base/base_trainer.py:414-415).
+  assert ckpt["n_samples"] == 224 and ckpt["n_steps"] == 56
+  assert "txt_bert.embeddings.position_ids" in ckpt["state_dict"]
   sd = {k: v.numpy() for k, v in ckpt["state_dict"].items()
         if v.dtype != torch.int64}
   back_params, _, unmapped = convert_state_dict(
@@ -170,3 +187,28 @@ def test_export_cli_roundtrip(tiny_arch, tmp_path):
   np.testing.assert_array_equal(
       np.asarray(back_params["txt_bert"]["encoder"]["layer_0"]["query"]
                  ["kernel"]), q_want)
+
+
+def test_export_cli_refuses_missing_config(tiny_arch, tmp_path):
+  """A .pth without a usable config would crash the reference resume on
+  checkpoint['config']['arch'] before any weights load — the exporter
+  must refuse, not emit it."""
+  from flax import serialization
+
+  variables = _init_variables(tiny_arch)
+  state = {
+      "params": jax.tree_util.tree_map(np.asarray, variables["params"]),
+      "batch_stats": jax.tree_util.tree_map(
+          np.asarray, variables.get("batch_stats", {})),
+      "epoch": 1, "monitor_best": 0.0, "arch": "CENet",
+  }
+  msgpack = tmp_path / "noconfig.msgpack"
+  msgpack.write_bytes(serialization.to_bytes(state))
+  out = tmp_path / "noconfig.pth"
+  r = subprocess.run(
+      [sys.executable, "scripts/export_checkpoint.py",
+       "--checkpoint", str(msgpack), "--out", str(out)],
+      capture_output=True, text=True, timeout=600)
+  assert r.returncode != 0
+  assert "config" in (r.stderr + r.stdout)
+  assert not out.exists()

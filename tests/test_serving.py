@@ -73,6 +73,8 @@ def test_index_and_search(served):
     if hits[0]["video_id"] == want_vid:
       hits_at_1 += 1
   assert hits_at_1 >= 3, f"top-1 hits only {hits_at_1}/6"
+  # topk<=0 is a "no results" probe for library callers, not "top 1".
+  assert engine.search(queries[:2], topk=0) == [[], []]
 
 
 def test_serve_cli(served):
@@ -88,11 +90,20 @@ def test_serve_cli(served):
       capture_output=True, text=True, env=env, cwd=os.getcwd())
   assert proc.returncode == 0, proc.stderr[-2000:]
   assert index_path.exists()
+  # The CLI must build the model through the SAME constructor path as
+  # training (models/cenet.py:cenet_kwargs_from_arch_args).  This config
+  # has no explicit text vocab_size, so a raw CENet(**arch_args) would
+  # size the text tower at the stock 28996 and the checkpoint's trained
+  # word embeddings would be silently dropped with this warning.
+  assert "shape mismatch" not in proc.stdout + proc.stderr, (
+      proc.stderr[-2000:])
   out_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
   assert out_lines, proc.stdout
   result = json.loads(out_lines[-1])
   assert result["query"] == "a video of cooking"
   assert len(result["hits"]) == 3
+  scores = [h["score"] for h in result["hits"]]
+  assert scores == sorted(scores, reverse=True)
 
 
 def test_http_api(served):

@@ -154,28 +154,17 @@ def train(config):
 
   data_loaders = build_data_loaders(config, expert_dims, tokenizer)
 
-  model_kwargs = {k: v for k, v in arch_args.items()
-                  if k not in ("vocab_size",)}
+  # Config-surface knobs -> constructor kwargs through the one shared
+  # path serving also uses (models/cenet.py:cenet_kwargs_from_arch_args
+  # — includes the "compute_dtype": "bfloat16" TPU extension knob and
+  # tokenizer-driven text vocab sizing).
+  from mmt_tpu.models.cenet import cenet_kwargs_from_arch_args
+  model_kwargs, cfg_txt_bert_init = cenet_kwargs_from_arch_args(
+      arch_args, tokenizer)
   txt_bert_init = resolve_txt_bert_init(
-      config, model_kwargs.pop("txt_bert_init", None),
+      config, cfg_txt_bert_init,
       arch_args.get("txt_agg", "bertftn"),
       custom_geometry=bool(arch_args.get("text_bert_geometry")))
-  # TPU extension knob (not in the reference config surface): arch.args
-  # "compute_dtype": "bfloat16" runs the BERT towers' matmuls in bf16
-  # (LN/softmax/heads stay fp32 — models/cenet.py:76,256).  Default fp32
-  # matches reference numerics exactly.
-  if "compute_dtype" in model_kwargs:
-    import jax.numpy as jnp
-    model_kwargs["compute_dtype"] = jnp.dtype(model_kwargs["compute_dtype"])
-  if tokenizer is not None and hasattr(tokenizer, "vocab_size"):
-    geom = dict(model_kwargs.get("text_bert_geometry") or {})
-    if arch_args.get("txt_agg", "bert")[:4] != "bert":
-      model_kwargs.setdefault("we_vocab_size", tokenizer.vocab_size)
-      if hasattr(tokenizer, "text_dim"):
-        model_kwargs.setdefault("we_dim", tokenizer.text_dim)
-    elif "vocab_size" in geom or os.environ.get("MMT_TPU_BERT_VOCAB"):
-      geom.setdefault("vocab_size", tokenizer.vocab_size)
-      model_kwargs["text_bert_geometry"] = geom
   model = CENet(expert_dims=expert_dims, **model_kwargs)
 
   loss_fn = build("loss", config["loss"])
