@@ -36,6 +36,49 @@ def _next_pow2(n: int) -> int:
   return 1 << max(0, (int(n) - 1)).bit_length()
 
 
+def _quantize_rows_int8(flat: np.ndarray):
+  """Symmetric per-row int8 quantization: ``flat ~= scale[:, None] * q8``.
+
+  One fp32 scale per row (= per video) over the weight-scaled flattened
+  [N, M*D] index; all-zero rows get scale 1 so they stay exactly zero.
+  """
+  scale = np.abs(flat).max(axis=1) / 127.0
+  scale = np.where(scale == 0, 1.0, scale).astype(np.float32)
+  q8 = np.clip(np.rint(flat / scale[:, None]), -127, 127).astype(np.int8)
+  return q8, scale
+
+
+def _int8_moe_similarity(text_embds, text_weights,
+                         vid_q8, vid_scale, vid_weights):
+  """MoE similarity against a row-quantized int8 index.
+
+  Same math as ops/similarity.py's two-contraction fusion
+  (/root/reference/model/model.py:789-837 semantics), with the index's
+  weight-scaled flattened rows stored int8 + one fp32 scale per video.
+  Queries are quantized the same way at request time, the big [Q, M*D] x
+  [M*D, V] contraction runs int8 x int8 -> int32 on the MXU (2x bf16
+  MACs/cycle on v5e, and 4x less index HBM traffic than fp32 — serving at
+  large V is index-bandwidth-bound), and the result is rescaled by the
+  two row scales.  The MoE denominator stays exact fp32 ([Q,M] x [M,V] —
+  negligible).  Under a video-axis-sharded mesh every step here is a
+  plain XLA op, so GSPMD partitions it natively (shard-local blocks, no
+  index gather).
+  """
+  q, m, d = text_embds.shape
+  tw = text_weights.astype(jnp.float32)
+  tf = (text_embds.astype(jnp.float32) * tw[:, :, None]).reshape(q, m * d)
+  ts = jnp.abs(tf).max(axis=1) / 127.0
+  ts = jnp.where(ts == 0, 1.0, ts)
+  tq8 = jnp.clip(jnp.round(tf / ts[:, None]), -127, 127).astype(jnp.int8)
+  dots = jax.lax.dot_general(tq8, vid_q8, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+  numer = dots.astype(jnp.float32) * ts[:, None] * vid_scale[None, :]
+  denom = jnp.einsum("qm,vm->qv", tw, vid_weights.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+  denom = jnp.where(denom == 0, similarity_ops.EPS_ZERO_GUARD, denom)
+  return numer / denom
+
+
 @dataclasses.dataclass
 class RetrievalIndex:
   """Embedded corpus: [N, M, D] video embeddings + [N, M] MoE weights."""
@@ -100,37 +143,61 @@ class RetrievalEngine:
   shard-local similarity matmuls + the cross-chip top-k merge — the
   corpus then scales with aggregate HBM instead of one chip's.  Queries
   are replicated (they're [B, 1, T, 2] int32 — tiny).
+
+  With ``quantize="int8"`` the index is stored as per-row symmetric int8
+  (+ one fp32 scale per video): 4x less index HBM than fp32 and the
+  query contraction runs on the MXU's int8 path — an approximation
+  (ranking-stable in practice; scores shift by O(1e-3) for normalized
+  embeddings), chosen per-engine so exact and quantized engines can
+  serve side by side from one RetrievalIndex.  Composes with ``mesh``.
   """
 
   def __init__(self, model, variables, tokenizer, index: RetrievalIndex,
-               max_text_words: int = 30, mesh=None):
+               max_text_words: int = 30, mesh=None, quantize=None):
+    if quantize not in (None, "int8"):
+      raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
     self.model = model
     self.variables = variables
     self.tokenizer = tokenizer
     self.index = index
     self.max_text_words = max_text_words
     self.mesh = mesh
+    self.quantize = quantize
+
+    n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+    pad = (-len(index.vid_embds)) % n_shards
+    embds, weights = index.vid_embds, index.vid_weights
+    if pad:
+      # Pad rows carry zero MoE weights -> denominator eps-guard makes
+      # their sims ~0; with L1-normalized true weights every real sim
+      # is > the guard floor, so pads never reach the top-k for any
+      # non-degenerate index.  (The n_real mask in query_fn kills them
+      # outright in any case.)
+      embds = np.concatenate([embds, np.zeros((pad,) + embds.shape[1:],
+                                              embds.dtype)], 0)
+      weights = np.concatenate([weights,
+                                np.zeros((pad, weights.shape[1]),
+                                         weights.dtype)], 0)
+    if quantize == "int8":
+      # Store the weight-scaled flattened index rows int8 (+ fp32 row
+      # scales): 4x less HBM than fp32 and the query contraction runs on
+      # the MXU's int8 path (_int8_moe_similarity).  Weights stay fp32
+      # for the exact MoE denominator.
+      flat = (embds.astype(np.float32)
+              * weights[:, :, None].astype(np.float32))
+      q8, scale = _quantize_rows_int8(flat.reshape(len(embds), -1))
+      host_index = (q8, scale, weights.astype(np.float32))
+    else:
+      host_index = (embds, weights)
     if mesh is not None:
       from jax.sharding import NamedSharding, PartitionSpec as P
-      n = int(np.prod(mesh.devices.shape))
-      pad = (-len(index.vid_embds)) % n
-      embds, weights = index.vid_embds, index.vid_weights
-      if pad:
-        # Pad rows carry zero MoE weights -> denominator eps-guard makes
-        # their sims ~0; with L1-normalized true weights every real sim
-        # is > the guard floor, so pads never reach the top-k for any
-        # non-degenerate index.
-        embds = np.concatenate([embds, np.zeros((pad,) + embds.shape[1:],
-                                                embds.dtype)], 0)
-        weights = np.concatenate([weights,
-                                  np.zeros((pad, weights.shape[1]),
-                                           weights.dtype)], 0)
       shard = NamedSharding(mesh, P("data"))
-      self._dev_embds = jax.device_put(embds, shard)
-      self._dev_weights = jax.device_put(weights, shard)
+      self._dev_index = tuple(jax.device_put(a, shard) for a in host_index)
     else:
-      self._dev_embds = jnp.asarray(index.vid_embds)
-      self._dev_weights = jnp.asarray(index.vid_weights)
+      self._dev_index = tuple(jnp.asarray(a) for a in host_index)
+    if quantize is None:
+      # Kept under their historical names for tests/introspection.
+      self._dev_embds, self._dev_weights = self._dev_index
 
     # Params live on device once; queries pass them as jit ARGUMENTS.
     # Closing over the pytree would bake ~132M params into HLO constants
@@ -154,14 +221,19 @@ class RetrievalEngine:
     # gathered on either path.
     prefer_pallas = False
 
-    def query_fn(variables, token_ids, vid_embds, vid_weights, *, k):
+    def query_fn(variables, token_ids, *index_arrays, k):
       out = model.apply(variables, token_ids, train=False,
                         method=model.embed_text)
       b, c, m, d = out["text_embds"].shape
-      sims = similarity_ops.moe_similarity(
-          out["text_embds"].reshape(b * c, m, d), vid_embds,
-          out["text_weights"].reshape(b * c, m), vid_weights,
-          merge="indep", num_caps=1, prefer_pallas=prefer_pallas)
+      text_embds = out["text_embds"].reshape(b * c, m, d)
+      text_weights = out["text_weights"].reshape(b * c, m)
+      if quantize == "int8":
+        sims = _int8_moe_similarity(text_embds, text_weights, *index_arrays)
+      else:
+        vid_embds, vid_weights = index_arrays
+        sims = similarity_ops.moe_similarity(
+            text_embds, vid_embds, text_weights, vid_weights,
+            merge="indep", num_caps=1, prefer_pallas=prefer_pallas)
       if sims.shape[1] != n_real:
         # Mesh-padding rows must never reach the top-k: their sims are 0
         # (eps-guarded), which would still outrank genuinely negative
@@ -205,8 +277,7 @@ class RetrievalEngine:
                                token_ids.dtype)], 0)
     k_jit = min(_next_pow2(k_req), len(self.index))
     scores, idx = self._query_fn(self._dev_variables, token_ids,
-                                 self._dev_embds, self._dev_weights,
-                                 k=k_jit)
+                                 *self._dev_index, k=k_jit)
     scores, idx = np.asarray(scores), np.asarray(idx)
     results = []
     for q in range(len(texts)):

@@ -79,6 +79,10 @@ def main(argv=None):
   parser.add_argument("--query", action="append", default=[],
                       help="text query (repeatable)")
   parser.add_argument("--topk", type=int, default=5)
+  parser.add_argument("--quantize", choices=["int8"], default=None,
+                      help="serve from an int8-quantized index (4x less "
+                           "index HBM, MXU int8 matmuls; approximate — "
+                           "see serving.RetrievalEngine)")
   parser.add_argument("--shard_index", action="store_true",
                       help="shard the index across the device mesh (corpus "
                            "scales with aggregate HBM; see serving.py)")
@@ -111,7 +115,8 @@ def main(argv=None):
     from mmt_tpu.parallel import mesh as mesh_lib
     mesh = mesh_lib.data_mesh()
   engine = RetrievalEngine(model, variables, tokenizer, index,
-                           max_text_words=max_words, mesh=mesh)
+                           max_text_words=max_words, mesh=mesh,
+                           quantize=args.quantize)
   if args.listen is not None:
     from mmt_tpu.serving import serve_http
     if args.query:

@@ -199,6 +199,97 @@ def test_sharded_index_matches_unsharded(served):
       assert h["video_id"] in index.video_ids
 
 
+def test_int8_engine_matches_float(served):
+  """An int8-quantized engine returns the same ranking as the exact
+  engine (scores within quantization noise) on the trained fixture."""
+  from mmt_tpu.serving import RetrievalEngine, RetrievalIndex
+  root, cfg_path, trainer = served
+
+  entry = trainer.data_loaders["final_eval_sets"][0]
+  variables = {"params": trainer.params, "batch_stats": trainer.batch_stats}
+  index = RetrievalIndex.build(trainer.model, variables, entry["loader"],
+                               dataset=entry["dataset"].datasets[0])
+  exact = RetrievalEngine(trainer.model, variables, trainer.tokenizer,
+                          index, max_text_words=12)
+  q8 = RetrievalEngine(trainer.model, variables, trainer.tokenizer,
+                       index, max_text_words=12, quantize="int8")
+  queries = ["a video of cooking", "a video of soccer", "a video of rain"]
+  want = exact.search(queries, topk=3)
+  got = q8.search(queries, topk=3)
+  for w_hits, g_hits in zip(want, got):
+    assert [h["video_id"] for h in w_hits] == [h["video_id"] for h in g_hits]
+    np.testing.assert_allclose([h["score"] for h in w_hits],
+                               [h["score"] for h in g_hits], atol=0.03)
+
+  with pytest.raises(ValueError):
+    RetrievalEngine(trainer.model, variables, trainer.tokenizer, index,
+                    quantize="fp8")
+
+
+def test_int8_sharded_matches_unsharded(served):
+  """quantize='int8' composes with a sharded index: the int8 contraction
+  is a plain dot_general GSPMD partitions shard-locally (the contraction
+  axis is unsharded, so int32 accumulation is exact per shard) and the
+  6-on-8 mesh padding rows never surface."""
+  from mmt_tpu.parallel import mesh as mesh_lib
+  from mmt_tpu.serving import RetrievalEngine, RetrievalIndex
+  root, cfg_path, trainer = served
+
+  entry = trainer.data_loaders["final_eval_sets"][0]
+  variables = {"params": trainer.params, "batch_stats": trainer.batch_stats}
+  index = RetrievalIndex.build(trainer.model, variables, entry["loader"],
+                               dataset=entry["dataset"].datasets[0])
+  assert len(index) == 6
+  mesh = mesh_lib.data_mesh()
+  plain = RetrievalEngine(trainer.model, variables, trainer.tokenizer,
+                          index, max_text_words=12, quantize="int8")
+  sharded = RetrievalEngine(trainer.model, variables, trainer.tokenizer,
+                            index, max_text_words=12, quantize="int8",
+                            mesh=mesh)
+  queries = ["a video of cooking", "a video of soccer"]
+  want = plain.search(queries, topk=4)
+  got = sharded.search(queries, topk=4)
+  for w_hits, g_hits in zip(want, got):
+    assert [h["video_id"] for h in w_hits] == [h["video_id"] for h in g_hits]
+    np.testing.assert_allclose([h["score"] for h in w_hits],
+                               [h["score"] for h in g_hits], rtol=1e-4,
+                               atol=1e-5)
+    for h in g_hits:
+      assert h["video_id"] in index.video_ids
+
+
+def test_int8_similarity_error_bound():
+  """_int8_moe_similarity stays within quantization noise of the exact
+  fp32 MoE similarity on random L2/L1-normalized inputs."""
+  import jax.numpy as jnp
+  from mmt_tpu.ops.similarity import _xla_moe_similarity
+  from mmt_tpu.serving import _int8_moe_similarity, _quantize_rows_int8
+
+  rng = np.random.RandomState(0)
+  q, v, m, d = 9, 33, 5, 64
+  t = rng.randn(q, m, d).astype(np.float32)
+  t /= np.linalg.norm(t, axis=-1, keepdims=True)
+  vid = rng.randn(v, m, d).astype(np.float32)
+  vid /= np.linalg.norm(vid, axis=-1, keepdims=True)
+  tw = rng.rand(q, m).astype(np.float32)
+  tw /= tw.sum(-1, keepdims=True)
+  vw = rng.rand(v, m).astype(np.float32)
+  vw /= vw.sum(-1, keepdims=True)
+
+  exact = np.asarray(_xla_moe_similarity(jnp.asarray(t), jnp.asarray(vid),
+                                         jnp.asarray(tw), jnp.asarray(vw)))
+  q8, scale = _quantize_rows_int8(
+      (vid * vw[:, :, None]).reshape(v, m * d))
+  got = np.asarray(_int8_moe_similarity(
+      jnp.asarray(t), jnp.asarray(tw), jnp.asarray(q8),
+      jnp.asarray(scale), jnp.asarray(vw)))
+  assert np.abs(got - exact).max() < 0.02, np.abs(got - exact).max()
+
+  # an all-zero index row quantizes to exactly zero (scale guard)
+  q8z, scz = _quantize_rows_int8(np.zeros((2, 8), np.float32))
+  assert (q8z == 0).all() and (scz == 1).all()
+
+
 def test_topk_beyond_ten_and_shape_bucketing(served):
   """topk is a STATIC jit arg, not a hardcoded 10: on an index of 16, a
   topk=13 search returns 13 correctly-ordered hits that prefix-match the
