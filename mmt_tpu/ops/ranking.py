@@ -227,16 +227,22 @@ def _cand_sharded(local_fn):
   """
   cp = custom_partitioning(local_fn)
 
+  def _norm(entry):
+    # A PartitionSpec dim entry is None, an axis name, or a TUPLE of
+    # axis names (multi-axis sharding of one dim); normalize to a tuple.
+    if entry is None:
+      return ()
+    return (entry,) if isinstance(entry, str) else tuple(entry)
+
   def _axes(arg_shapes):
     def row(i):
       spec = arg_shapes[i].sharding.spec
-      return spec[0] if len(spec) else None
-    q = next((a for a in (row(0), row(2), row(4), row(5))
-              if a is not None), None)
-    c = next((a for a in (row(1), row(3), row(6)) if a is not None), None)
-    if q is not None and q == c:
-      c = None
-    return q, c
+      return _norm(spec[0] if len(spec) else None)
+    q = next((a for a in (row(0), row(2), row(4), row(5)) if a), ())
+    c = next((a for a in (row(1), row(3), row(6)) if a), ())
+    if set(q) & set(c):
+      c = ()   # one mesh axis can't shard both sides; candidates gather
+    return q or None, c or None
 
   def infer(mesh, arg_shapes, result_shape):
     q, _ = _axes(arg_shapes)
@@ -248,9 +254,9 @@ def _cand_sharded(local_fn):
     # learned this the hard way); the candidate axis comes from the
     # operands.
     out_spec = result_shape[0].sharding.spec
-    q = out_spec[0] if len(out_spec) else None
+    q = _norm(out_spec[0] if len(out_spec) else None) or None
     _, c = _axes(arg_shapes)
-    if c is not None and c == q:
+    if c is not None and set(c) & set(q or ()):
       c = None
     args = (NamedSharding(mesh, P(q, None)),
             NamedSharding(mesh, P(c, None)),
@@ -264,14 +270,18 @@ def _cand_sharded(local_fn):
     def lower(queries, cands, qw, cw, gt, gtcol, colbias):
       if c is None:
         return local_fn(queries, cands, qw, cw, gt, gtcol, colbias)
-      axis = c if isinstance(c, str) else c[0]
       # Shift the GT-exclusion index into this shard's coordinates; the
       # validity window (col < local candidate count) and all counting
       # stay shard-local, and the additive outputs reduce across shards.
-      offset = jax.lax.axis_index(axis) * cands.shape[0]
+      # A multi-axis candidate sharding linearizes major-to-minor, the
+      # same order GSPMD lays shard blocks out for P((a, b)).
+      shard = jax.lax.axis_index(c[0])
+      for a in c[1:]:
+        shard = shard * mesh.shape[a] + jax.lax.axis_index(a)
+      offset = shard * cands.shape[0]
       closer, tied = local_fn(queries, cands, qw, cw, gt,
                               gtcol - offset, colbias)
-      return (jax.lax.psum(closer, axis), jax.lax.psum(tied, axis))
+      return (jax.lax.psum(closer, c), jax.lax.psum(tied, c))
 
     return mesh, lower, outs, args
 

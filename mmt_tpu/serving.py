@@ -330,7 +330,9 @@ class _RetrievalHandler(http.server.BaseHTTPRequestHandler):
     if not all(isinstance(q, str) and q.strip() for q in queries):
       self._reply(400, {"error": "queries must be non-empty strings"})
       return
-    topk = max(1, min(int(topk), len(self.engine.index)))
+    # topk <= 0 means "no results" (engine contract, search() above) —
+    # the clamp only caps at the index size, it must not floor at 1.
+    topk = max(0, min(int(topk), len(self.engine.index)))
     with self.lock:
       results = self.engine.search(queries, topk=topk)
     self._reply(200, {"results": results})

@@ -170,27 +170,32 @@ def merge_params(target, loaded, path="", stats=None):
   (torch load_state_dict(strict=False) semantics for warm starts).
 
   ``stats`` (optional dict) gets ``stats["matched"]`` incremented per
-  successfully copied leaf — callers that must fail loudly on a
-  nothing-matched load (e.g. txt_bert_init) check it afterwards.
+  successfully copied leaf and ``stats["skipped"]`` (a list of paths)
+  appended per kept-init leaf — callers that must fail loudly on an
+  incomplete load (e.g. txt_bert_init) check those afterwards.
   """
+  def _skip(leaf_path, target_leaf, why):
+    logger.warning("warm start: %s at %s (kept init)", why, leaf_path)
+    if stats is not None:
+      stats.setdefault("skipped", []).append(leaf_path)
+    return target_leaf
+
   if isinstance(target, dict):
     out = {}
     for key, tgt_val in target.items():
       if isinstance(loaded, dict) and key in loaded:
         out[key] = merge_params(tgt_val, loaded[key], f"{path}/{key}", stats)
       else:
-        logger.warning("warm start: missing %s/%s (kept init)", path, key)
-        out[key] = tgt_val
+        out[key] = _skip(f"{path}/{key}", tgt_val, "missing")
     return out
   loaded_arr = np.asarray(loaded)
   if hasattr(target, "shape") and loaded_arr.shape == target.shape:
     if stats is not None:
       stats["matched"] = stats.get("matched", 0) + 1
     return loaded_arr.astype(np.asarray(target).dtype)
-  logger.warning("warm start: shape mismatch at %s (%s vs %s; kept init)",
-                 path, getattr(loaded_arr, "shape", None),
-                 getattr(target, "shape", None))
-  return target
+  return _skip(path, target,
+               f"shape mismatch ({getattr(loaded_arr, 'shape', None)} vs "
+               f"{getattr(target, 'shape', None)})")
 
 
 def write_info(exp_dir, resume_path, epoch):

@@ -100,8 +100,10 @@ def fused_retrieval_metrics(text_embds, vid_embds, text_weights,
   XLA elsewhere).  For 50k+-video evals where the matrix is GBs of HBM.
   Semantics match t2v_metrics/v2t_metrics on the full matrix.
 
-  With ``mesh`` (a 1-D data mesh), each orientation shards its CANDIDATE
-  operands across chips with queries replicated: the fused-counts op's
+  With ``mesh`` (sharding rides the FIRST mesh axis — the 'data' axis
+  of both the 1-D data mesh and the 2-D (data, model) TP mesh the
+  trainer passes), each orientation shards its CANDIDATE operands
+  across chips with queries replicated: the fused-counts op's
   partition rule (ops/ranking.py:_cand_sharded) counts shard-local
   candidates and psums, so corpus-side HBM and FLOPs scale with chips
   while the rank outputs stay replicated (multi-host lockstep-safe).
@@ -120,7 +122,10 @@ def fused_retrieval_metrics(text_embds, vid_embds, text_weights,
   shard3 = shard2 = shard1 = repl = None
   if mesh is not None:
     from jax.sharding import NamedSharding, PartitionSpec as P
-    n = int(np.prod(mesh.devices.shape))
+    # Pad only to the axis the candidates actually shard over (axis 0);
+    # padding to the full device count would embed+count dead rows per
+    # model-parallel degree for nothing.
+    n = int(mesh.shape[mesh.axis_names[0]])
     pad = (-nv) % n
     if pad:
       def padv(x, rows):

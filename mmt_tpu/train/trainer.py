@@ -460,11 +460,14 @@ class Trainer:
     recomputes from the constructor fields).  Missing towers (non-bert
     txt_agg) are simply absent — param_shardings only consults the keys
     that exist in the tree."""
-    from mmt_tpu.config import TEXT_BERT_BASE_CASED
+    from mmt_tpu.config import BertParams, TEXT_BERT_BASE_CASED
     heads = {}
     vid = dict(getattr(self.model, "vid_bert_params", {}) or {})
-    if "num_attention_heads" in vid:
-      heads["vid_bert"] = int(vid["num_attention_heads"])
+    # Resolve through BertParams so a config that omits
+    # num_attention_heads still reports the DEFAULT head count the model
+    # actually builds with — otherwise the dim-divisibility fallback in
+    # param_shardings could shard q/k/v across head boundaries.
+    heads["vid_bert"] = int(BertParams.from_dict(vid).num_attention_heads)
     txt = int(TEXT_BERT_BASE_CASED.num_attention_heads)
     geom = dict(getattr(self.model, "text_bert_geometry", None) or {})
     txt = int(geom.get("num_attention_heads", txt))
@@ -955,10 +958,13 @@ class Trainer:
 
     Mirrors the reference's unconditional ``from_pretrained`` for
     bertftn/bertfrz text towers (model/model.py:150-162): the tree from
-    scripts/convert_hf_bert.py is merged non-strictly into
-    params['txt_bert'] (geometry mismatches keep the random init,
-    loudly), BEFORE any resume/warm-start so a checkpoint still wins.
-    A load where no leaf matches is an error, not a silent no-op.
+    scripts/convert_hf_bert.py is merged into params['txt_bert'] BEFORE
+    any resume/warm-start so a checkpoint still wins.  Unlike general
+    warm starts, this merge is STRICT: any tower leaf the asset cannot
+    fill (missing key or shape mismatch, e.g. a custom-vocab word table
+    against the stock bert-base-cased asset) raises — a partially
+    pretrained encoder over a random word table is the worst silent
+    failure mode.
     """
     logger.info("Initializing txt_bert from %s", path)
     raw = ckpt_lib.load_checkpoint_raw(str(path))
@@ -978,6 +984,13 @@ class Trainer:
           f"txt_bert_init {path}: no leaf matched the model's txt_bert "
           f"tree — wrong geometry or a stale converter output "
           f"(re-run scripts/convert_hf_bert.py)")
+    if stats.get("skipped"):
+      raise ValueError(
+          f"txt_bert_init {path}: {len(stats['skipped'])} txt_bert leaves "
+          f"could not be initialized from the asset (first: "
+          f"{stats['skipped'][0]}) — the tower geometry does not match the "
+          f"converted weights; fix text_bert_geometry / the vocab, or "
+          f"re-run scripts/convert_hf_bert.py against the right model")
     logger.info("txt_bert init: %d/%d leaves loaded from %s",
                 stats["matched"], n_target, path)
 

@@ -60,10 +60,22 @@ def load_model_and_loader(config_path, checkpoint_path):
       {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
       probe, train=False)
   raw = ckpt_lib.load_checkpoint_raw(checkpoint_path)
-  params = ckpt_lib.merge_params(variables["params"], raw["params"])
+  # STRICT load: serving has no training loop to paper over a partial
+  # init — any model leaf the checkpoint can't fill means the config
+  # and checkpoint disagree (wrong vocab/geometry/arch), and the engine
+  # would silently rank with random weights in that leaf.
+  stats = {}
+  params = ckpt_lib.merge_params(variables["params"], raw["params"],
+                                 path="params", stats=stats)
   batch_stats = variables.get("batch_stats", {})
   if raw.get("batch_stats"):
-    batch_stats = ckpt_lib.merge_params(batch_stats, raw["batch_stats"])
+    batch_stats = ckpt_lib.merge_params(batch_stats, raw["batch_stats"],
+                                        path="batch_stats", stats=stats)
+  if stats.get("skipped"):
+    raise ValueError(
+        f"checkpoint {checkpoint_path} does not fill the model built from "
+        f"{config_path}: {len(stats['skipped'])} leaves kept their random "
+        f"init (first: {stats['skipped'][0]}) — config/checkpoint mismatch")
   variables = {"params": params, "batch_stats": batch_stats}
   mix0 = cfg["final_eval_sets"][0]["args"]["mix"][0]
   return model, variables, tokenizer, entry, mix0.get("max_text_words", 30)

@@ -685,6 +685,18 @@ def test_fused_ranking_kernel_partitions_candidate_axis():
              jax.device_put(jnp.asarray(valid), NamedSharding(mesh, P("data"))))
   np.testing.assert_allclose(np.asarray(got4)[:q], want_t2v, atol=1e-5)
 
+  # Multi-axis candidate sharding P(('data','model')) on a 4x2 mesh: the
+  # partition rule linearizes the shard index over BOTH axes for the
+  # GT-exclusion offset and psums over both — ranks must still match.
+  mesh2 = mesh_lib.data_mesh(model_parallel=2)
+  both3 = NamedSharding(mesh2, P(("data", "model"), None, None))
+  both2 = NamedSharding(mesh2, P(("data", "model"), None))
+  rep2 = NamedSharding(mesh2, P())
+  got5 = t2v(jax.device_put(te, rep2), jax.device_put(ve, both3),
+             jax.device_put(tw, rep2), jax.device_put(vw, both2))
+  np.testing.assert_allclose(np.asarray(got5), want_t2v, atol=1e-5)
+  assert all(a is None for a in tuple(got5.sharding.spec)), got5.sharding
+
 
 def test_fused_retrieval_metrics_sharded_matches_unsharded():
   """metrics.fused_retrieval_metrics(mesh=...) — the sharded at-scale
@@ -852,6 +864,27 @@ def test_tensor_parallel_head_alignment():
   lay = s["txt_bert"]["encoder"]["layer_0"]
   assert str(lay["query"]["kernel"].spec) == "PartitionSpec(None, 'model')"
   assert str(lay["attn_out"]["kernel"].spec) == "PartitionSpec('model', None)"
+
+
+def test_tp_num_heads_resolves_bert_defaults():
+  """A config that OMITS num_attention_heads still builds the model with
+  BertParams' default head count — _tp_num_heads must report that same
+  count, or the dim-divisibility fallback could shard q/k/v across head
+  boundaries (config.py BertParams defaults: 4 heads)."""
+  from mmt_tpu.train.trainer import Trainer
+
+  class Holder:
+    pass
+
+  model = Holder()
+  model.vid_bert_params = {"hidden_size": 512}  # no explicit head count
+  model.text_bert_geometry = None
+  model.txt_bert_params = None
+  holder = Holder()
+  holder.model = model
+  heads = Trainer._tp_num_heads(holder)
+  assert heads["vid_bert"] == 4    # BertParams default, what CENet builds
+  assert heads["txt_bert"] == 12   # bert-base-cased
 
 
 def test_tensor_parallel_unsatisfiable_request_raises(tmp_path_factory):

@@ -152,6 +152,14 @@ def test_http_api(served):
       clamped = json.loads(resp.read())["results"]
     assert len(clamped[0]) == len(index)
 
+    # topk<=0 is the "no results" probe at the HTTP layer too — it must
+    # follow the engine contract, not floor at 1.
+    for k in (0, -3):
+      with urllib.request.urlopen(f"{base}/search?q=cooking&topk={k}",
+                                  timeout=120) as resp:
+        empty = json.loads(resp.read())["results"]
+      assert empty == [[]]
+
     for bad in (f"{base}/search",                 # no queries
                 f"{base}/search?q=x&topk=abc",    # non-integer topk
                 f"{base}/nope"):                  # unknown path

@@ -255,3 +255,72 @@ def test_resolve_priorities(tmp_path, monkeypatch):
   cfg.txt_bert_init = str(tmp_path / "absent.msgpack")
   with pytest.raises(FileNotFoundError):
     train_cli.resolve_txt_bert_init(cfg, None, "bertftn")
+
+
+def test_non_pretrained_towers_reject_or_ignore_init(tmp_path, monkeypatch):
+  """bertscr/vlad towers stay random (model/model.py:150 applies
+  from_pretrained only for ftn/frz): an explicit CLI/config init is a
+  contradiction (raise), an ambient env var is ignored."""
+  import train as train_cli
+
+  class Cfg:
+    resume = None
+    txt_bert_init = None
+
+  f = tmp_path / "init.msgpack"
+  f.write_bytes(b"x")
+  monkeypatch.delenv("MMT_TPU_TXT_BERT_INIT", raising=False)
+
+  # Ambient env var must NOT turn a from-scratch ablation pretrained.
+  monkeypatch.setenv("MMT_TPU_TXT_BERT_INIT", str(f))
+  assert train_cli.resolve_txt_bert_init(Cfg(), None, "bertscr") is None
+  assert train_cli.resolve_txt_bert_init(Cfg(), None, "vlad") is None
+  monkeypatch.delenv("MMT_TPU_TXT_BERT_INIT")
+
+  # Explicit CLI / arch.args requests contradict the architecture: loud.
+  cfg = Cfg()
+  cfg.txt_bert_init = str(f)
+  with pytest.raises(ValueError, match="conflicts with txt_agg"):
+    train_cli.resolve_txt_bert_init(cfg, None, "bertscr")
+  with pytest.raises(ValueError, match="conflicts with txt_agg"):
+    train_cli.resolve_txt_bert_init(Cfg(), str(f), "mxp")
+
+
+def test_is_custom_text_geometry():
+  """The auto-load gate must see the EFFECTIVE geometry: an injected
+  {'vocab_size': stock} is still stock; any departing value is custom
+  (so the bert-base-cased asset can't silently part-load over it)."""
+  import train as train_cli
+
+  assert not train_cli._is_custom_text_geometry(None)
+  assert not train_cli._is_custom_text_geometry({})
+  assert not train_cli._is_custom_text_geometry({"vocab_size": 28996})
+  assert train_cli._is_custom_text_geometry({"vocab_size": 128})
+  assert train_cli._is_custom_text_geometry({"num_hidden_layers": 2})
+
+
+def test_partial_match_raises(tmp_path):
+  """An init asset that fills the encoder but not the word table (custom
+  vocab against the stock asset) must raise — a pretrained encoder over
+  a random word table is the worst silent failure mode."""
+  from flax import serialization
+  from mmt_tpu.train.trainer import Trainer
+
+  class Holder:
+    pass
+
+  holder = Holder()
+  holder.params = {"txt_bert": {
+      "embeddings_ln": {"scale": np.ones(48, np.float32)},
+      "word_embeddings": {"embedding": np.zeros((100, 48), np.float32)},
+  }}
+  asset = tmp_path / "partial.msgpack"
+  asset.write_bytes(serialization.to_bytes(
+      {"params": {"txt_bert": {
+          "embeddings_ln": {"scale": np.ones(48, np.float32)},
+          # stock-sized word table vs the model's 100-row custom vocab
+          "word_embeddings": {"embedding": np.zeros((28996, 48),
+                                                    np.float32)},
+      }}}))
+  with pytest.raises(ValueError, match="could not be initialized"):
+    Trainer._load_txt_bert_init(holder, str(asset))

@@ -84,25 +84,38 @@ def frozen_param_mask(params, txt_agg: str, txt_inp: str):
 def resolve_txt_bert_init(config, arch_value, txt_agg, custom_geometry=False):
   """Locate pretrained text-BERT init weights for bertftn/bertfrz runs.
 
-  The reference ALWAYS builds those text towers from pretrained
-  bert-base-cased (model/model.py:150-162); here the converted weights
+  The reference builds ONLY those text towers from pretrained
+  bert-base-cased (model/model.py:150-162 — 'bertscr' and the non-bert
+  aggregators never see from_pretrained); here the converted weights
   (scripts/convert_hf_bert.py) are resolved in priority order:
   CLI --txt_bert_init > MMT_TPU_TXT_BERT_INIT env > arch.args
   "txt_bert_init" > the default asset data/txt_bert_init.msgpack (if
-  present).  'bertscr' towers stay random, as in the reference.
+  present).  For a non-pretrained tower, a CLI/config request raises
+  (it contradicts the architecture) while an ambient env var is ignored
+  with a log line, so an exported MMT_TPU_TXT_BERT_INIT cannot silently
+  turn a from-scratch ablation into a pretrained run.
   Returns a path or None.
   """
   from mmt_tpu.config import TxtAggSpec
 
   spec = TxtAggSpec.parse(txt_agg) if txt_agg[:4] == "bert" else None
-  explicit = (getattr(config, "txt_bert_init", None)
-              or os.environ.get("MMT_TPU_TXT_BERT_INIT") or arch_value)
+  cli_value = getattr(config, "txt_bert_init", None)
+  env_value = os.environ.get("MMT_TPU_TXT_BERT_INIT")
+  if spec is None or spec.state not in ("ftn", "frz"):
+    if cli_value or arch_value:
+      raise ValueError(
+          f"txt_bert_init={cli_value or arch_value!r} conflicts with "
+          f"txt_agg={txt_agg!r}: only bertftn/bertfrz towers start from "
+          "pretrained weights (model/model.py:150-162)")
+    if env_value:
+      logger.info("MMT_TPU_TXT_BERT_INIT ignored: txt_agg=%s stays "
+                  "randomly initialized, as in the reference", txt_agg)
+    return None
+  explicit = cli_value or env_value or arch_value
   if explicit:
     if not os.path.isfile(explicit):
       raise FileNotFoundError(f"txt_bert_init not found: {explicit}")
     return explicit
-  if spec is None or spec.state not in ("ftn", "frz"):
-    return None
   if custom_geometry:
     # The default asset is bert-base-cased; a model with an overridden
     # text_bert_geometry can't load it — only an explicit path applies.
@@ -117,6 +130,23 @@ def resolve_txt_bert_init(config, arch_value, txt_agg, custom_geometry=False):
         "bert-base-cased).  Convert them once with scripts/convert_hf_bert.py "
         "(default output %s) or pass --txt_bert_init.", txt_agg, default)
   return None
+
+
+def _is_custom_text_geometry(geom):
+  """True when a text_bert_geometry override departs from bert-base-cased.
+
+  Gates the default-asset auto-load: the geometry must come from the
+  EFFECTIVE model kwargs (cenet_kwargs_from_arch_args injects
+  ``{"vocab_size": tokenizer.vocab_size}`` when MMT_TPU_BERT_VOCAB is
+  set — invisible in the raw config), and an injected geometry that
+  merely restates the stock values is still stock.
+  """
+  if not geom:
+    return False
+  import dataclasses
+  from mmt_tpu.config import TEXT_BERT_BASE_CASED
+  stock = dataclasses.asdict(TEXT_BERT_BASE_CASED)
+  return any(stock.get(k) != v for k, v in dict(geom).items())
 
 
 def train(config):
@@ -164,7 +194,8 @@ def train(config):
   txt_bert_init = resolve_txt_bert_init(
       config, cfg_txt_bert_init,
       arch_args.get("txt_agg", "bertftn"),
-      custom_geometry=bool(arch_args.get("text_bert_geometry")))
+      custom_geometry=_is_custom_text_geometry(
+          model_kwargs.get("text_bert_geometry")))
   model = CENet(expert_dims=expert_dims, **model_kwargs)
 
   loss_fn = build("loss", config["loss"])
