@@ -241,7 +241,11 @@ def _cand_sharded(local_fn):
     q = next((a for a in (row(0), row(2), row(4), row(5)) if a), ())
     c = next((a for a in (row(1), row(3), row(6)) if a), ())
     if set(q) & set(c):
-      c = ()   # one mesh axis can't shard both sides; candidates gather
+      # One mesh axis can't shard both sides: only the CONFLICTING axes
+      # leave the candidate sharding; a mixed layout like q=('data',),
+      # c=('data','model') keeps candidates sharded over 'model' instead
+      # of gathering the whole corpus per device.
+      c = tuple(a for a in c if a not in set(q))
     return q or None, c or None
 
   def infer(mesh, arg_shapes, result_shape):
@@ -256,8 +260,8 @@ def _cand_sharded(local_fn):
     out_spec = result_shape[0].sharding.spec
     q = _norm(out_spec[0] if len(out_spec) else None) or None
     _, c = _axes(arg_shapes)
-    if c is not None and set(c) & set(q or ()):
-      c = None
+    if c is not None:
+      c = tuple(a for a in c if a not in set(q or ())) or None
     args = (NamedSharding(mesh, P(q, None)),
             NamedSharding(mesh, P(c, None)),
             NamedSharding(mesh, P(q, None)),

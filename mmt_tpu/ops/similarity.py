@@ -138,15 +138,29 @@ def _qv_sharded(local_fn):
   gathered (an output cannot shard two dims on one axis)."""
   cp = custom_partitioning(local_fn)
 
+  def _norm(entry):
+    # A PartitionSpec dim entry is None, an axis name, or a TUPLE of
+    # axis names (multi-axis sharding of one dim); normalize to a tuple
+    # so the conflict check below treats P('x') and P(('x', 'y'))
+    # consistently (same convention as ops/ranking.py:_cand_sharded).
+    if entry is None:
+      return ()
+    return (entry,) if isinstance(entry, str) else tuple(entry)
+
   def _axes(arg_shapes):
     def row(i):
       spec = arg_shapes[i].sharding.spec
-      return spec[0] if len(spec) else None
-    q = row(0) if row(0) is not None else row(2)
-    v = row(1) if row(1) is not None else row(3)
-    if q is not None and q == v:
-      v = None
-    return q, v
+      return _norm(spec[0] if len(spec) else None)
+    q = row(0) or row(2)
+    v = row(1) or row(3)
+    if set(q) & set(v):
+      # One mesh axis cannot shard both output dims; conflicting axes
+      # leave the video side (that all-gather IS the global-batch
+      # negative semantics on the trainer's data mesh).  Non-conflicting
+      # video axes are kept: q=('data',), v=('data','model') still
+      # shards candidates over 'model'.
+      v = tuple(a for a in v if a not in set(q))
+    return q or None, v or None
 
   def infer(mesh, arg_shapes, result_shape):
     q, v = _axes(arg_shapes)

@@ -117,6 +117,13 @@ class RetrievalIndex:
                paths or [""] * len(vid_embds))
 
   def save(self, path) -> None:
+    # ids/paths are stored newline-joined; an embedded "\n" would split
+    # into phantom entries on load and desynchronize ids from embeddings.
+    for name, vals in (("video_ids", self.video_ids), ("paths", self.paths)):
+      bad = next((v for v in vals if "\n" in str(v)), None)
+      if bad is not None:
+        raise ValueError(f"{name} entry contains a newline and would break "
+                         f"the index round-trip: {bad!r}")
     blob = serialization.msgpack_serialize({
         "vid_embds": self.vid_embds,
         "vid_weights": self.vid_weights,

@@ -177,7 +177,20 @@ def merge_params(target, loaded, path="", stats=None):
   def _skip(leaf_path, target_leaf, why):
     logger.warning("warm start: %s at %s (kept init)", why, leaf_path)
     if stats is not None:
-      stats.setdefault("skipped", []).append(leaf_path)
+      # A missing KEY can hide a whole subtree; record one skipped entry
+      # per LEAF so "N leaves kept their random init" messages (strict
+      # loaders: trainer._load_txt_bert_init, scripts/serve.py) count
+      # leaves, not dict keys.
+      if isinstance(target_leaf, dict):
+        def _walk(node, p):
+          if isinstance(node, dict):
+            for k, v in node.items():
+              _walk(v, f"{p}/{k}")
+          else:
+            stats.setdefault("skipped", []).append(p)
+        _walk(target_leaf, leaf_path)
+      else:
+        stats.setdefault("skipped", []).append(leaf_path)
     return target_leaf
 
   if isinstance(target, dict):

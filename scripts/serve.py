@@ -71,6 +71,15 @@ def load_model_and_loader(config_path, checkpoint_path):
   if raw.get("batch_stats"):
     batch_stats = ckpt_lib.merge_params(batch_stats, raw["batch_stats"],
                                         path="batch_stats", stats=stats)
+  elif batch_stats:
+    # The model has BatchNorm running stats but the checkpoint carries
+    # none at all — serving with freshly-initialized BN statistics is the
+    # exact silent-partial-init failure the strict check exists for.
+    raise ValueError(
+        f"checkpoint {checkpoint_path} has no batch_stats collection but "
+        f"the model built from {config_path} has BatchNorm running stats "
+        f"({len(jax.tree_util.tree_leaves(batch_stats))} leaves) — the "
+        f"engine would rank with freshly-initialized BN statistics")
   if stats.get("skipped"):
     raise ValueError(
         f"checkpoint {checkpoint_path} does not fill the model built from "

@@ -697,6 +697,69 @@ def test_fused_ranking_kernel_partitions_candidate_axis():
   np.testing.assert_allclose(np.asarray(got5), want_t2v, atol=1e-5)
   assert all(a is None for a in tuple(got5.sharding.spec)), got5.sharding
 
+  # Mixed partial overlap: queries on 'data', candidates on
+  # ('data','model').  Only the CONFLICTING axis leaves the candidate
+  # sharding — candidates stay sharded over 'model' (ranks and the
+  # query-sharded outputs unchanged) instead of gathering the corpus.
+  d_row3 = NamedSharding(mesh2, P("data", None, None))
+  d_row2 = NamedSharding(mesh2, P("data", None))
+  got6 = t2v(jax.device_put(te, d_row3), jax.device_put(ve, both3),
+             jax.device_put(tw, d_row2), jax.device_put(vw, both2))
+  np.testing.assert_allclose(np.asarray(got6), want_t2v, atol=1e-5)
+  assert "data" in tuple(got6.sharding.spec) or any(
+      isinstance(a, tuple) and "data" in a for a in tuple(got6.sharding.spec)
+  ), got6.sharding
+
+
+def test_similarity_kernel_tuple_axis_sharding():
+  """_qv_sharded normalizes TUPLE PartitionSpec entries (round-4 VERDICT
+  #6, same convention as ops/ranking.py:_cand_sharded):
+
+  * queries sharded over a tuple axis P(('data','model')) on a 4x2 mesh
+    — values match unsharded and the output keeps a sharded dim;
+  * mixed partial overlap (q on 'data', v on ('data','model')) — only
+    the conflicting 'data' axis leaves the video side, so the index
+    stays sharded over 'model' rather than gathering.
+  """
+  from mmt_tpu.ops import similarity
+
+  rng = np.random.RandomState(2)
+  q, v, m, d = 16, 24, 3, 32
+  t = rng.randn(q, m, d).astype(np.float32)
+  vv = rng.randn(v, m, d).astype(np.float32)
+  tw = np.abs(rng.randn(q, m)).astype(np.float32)
+  vw = np.abs(rng.randn(v, m)).astype(np.float32)
+
+  similarity.use_pallas(True, interpret=True)
+  try:
+    fused = similarity._fused_moe_similarity
+    want = np.asarray(jax.jit(fused)(t, vv, tw, vw))
+
+    mesh2 = mesh_lib.data_mesh(model_parallel=2)
+    both3 = NamedSharding(mesh2, P(("data", "model"), None, None))
+    both2 = NamedSharding(mesh2, P(("data", "model"), None))
+    rep = NamedSharding(mesh2, P())
+
+    # Tuple-axis queries, replicated videos.
+    got = jax.jit(fused, in_shardings=(both3, rep, both2, rep))(
+        jax.device_put(t, both3), jax.device_put(vv, rep),
+        jax.device_put(tw, both2), jax.device_put(vw, rep))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+    flat = []
+    for a in tuple(got.sharding.spec):
+      flat.extend(a if isinstance(a, tuple) else [a])
+    assert "data" in flat, got.sharding
+
+    # Mixed partial overlap: q on 'data', v on ('data','model').
+    d_row3 = NamedSharding(mesh2, P("data", None, None))
+    d_row2 = NamedSharding(mesh2, P("data", None))
+    got2 = jax.jit(fused, in_shardings=(d_row3, both3, d_row2, both2))(
+        jax.device_put(t, d_row3), jax.device_put(vv, both3),
+        jax.device_put(tw, d_row2), jax.device_put(vw, both2))
+    np.testing.assert_allclose(np.asarray(got2), want, rtol=1e-5, atol=1e-5)
+  finally:
+    similarity.use_pallas(False)
+
 
 def test_fused_retrieval_metrics_sharded_matches_unsharded():
   """metrics.fused_retrieval_metrics(mesh=...) — the sharded at-scale
