@@ -88,15 +88,27 @@ class BatchLoader:
         yield batch
 
 
-def device_prefetch(iterator, size: int = 2):
-  """Stage host->device transfers ahead of consumption."""
+def device_prefetch(iterator, size: int = 2, put=None):
+  """Stage host->device transfers ahead of consumption.
+
+  ``put`` overrides the per-batch transfer (default: plain device_put on
+  every array leaf).  The mesh training path passes
+  ``lambda b: mesh_lib.shard_batch(mesh, b)`` so ``size`` SHARDED batches
+  stay in flight while the current step runs — device_put/
+  make_array_from_callback only ENQUEUE the H2D copies, so issuing the
+  next batch's scatter before the step consumes it overlaps transfer
+  with compute (the TPU analogue of the reference's pin_memory + async
+  copies, data_loader/data_loaders.py:54-62).
+  """
   import jax
 
   buf = collections.deque()
 
-  def put(batch):
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x) if isinstance(x, np.ndarray) else x, batch)
+  if put is None:
+    def put(batch):
+      return jax.tree_util.tree_map(
+          lambda x: jax.device_put(x) if isinstance(x, np.ndarray) else x,
+          batch)
 
   it = iter(iterator)
   try:

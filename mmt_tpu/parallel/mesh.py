@@ -167,7 +167,7 @@ def shard_params(mesh: Optional[Mesh], params, num_heads=None):
 
   Single-process only, like tensor parallelism itself (the Trainer
   rejects a 'model' axis under multiprocess — per-layer psums must not
-  ride DCN, and checkpoint snapshots need addressable arrays)."""
+  ride DCN; checkpoint snapshots gather non-addressable shards)."""
   if mesh is None or model_axis_size(mesh) <= 1:
     return params
   specs = param_shardings(mesh, params, num_heads=num_heads)

@@ -263,3 +263,35 @@ def test_cached_samples_identical_to_uncached(corpus, legacy_assembly):
       np.testing.assert_array_equal(
           a["vid_tensors"]["features_maxpool"][m],
           b["vid_tensors"]["features_maxpool"][m])
+
+
+def test_device_prefetch_with_sharding_put():
+  """device_prefetch(put=...) — the mesh-path prefetch: batches come out
+  in order, transformed by ``put`` (here mesh_lib.shard_batch onto the
+  8-device data axis), with 2 sharded batches staged ahead."""
+  import jax
+  from jax.sharding import NamedSharding, PartitionSpec as P
+  from mmt_tpu.data.loader import device_prefetch
+  from mmt_tpu.parallel import mesh as mesh_lib
+
+  mesh = mesh_lib.data_mesh()
+  puts = []
+
+  def put(b):
+    puts.append(int(b["x"][0]))
+    return mesh_lib.shard_batch(mesh, b)
+
+  batches = [{"x": np.full((8,), i, np.float32)} for i in range(5)]
+  out = []
+  it = device_prefetch(iter(batches), size=2, put=put)
+  first = next(it)
+  # After the first yield, the staging ring holds the NEXT two batches.
+  assert puts == [0, 1, 2], puts
+  out.append(first)
+  out.extend(it)
+  assert len(out) == 5
+  for i, b in enumerate(out):
+    assert isinstance(b["x"], jax.Array)
+    assert b["x"].sharding.is_equivalent_to(
+        NamedSharding(mesh, P("data")), ndim=1)
+    np.testing.assert_array_equal(np.asarray(b["x"]), np.full(8, i))

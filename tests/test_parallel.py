@@ -421,7 +421,7 @@ def test_two_process_full_trainer_matches_single_process(tmp_path):
 def test_trainer_runs_pallas_kernels_under_mesh(tiny_train_setup=None):
   """A Trainer with an active >1-device mesh keeps BOTH Pallas kernel
   families enabled: the FFN kernels and the similarity kernel all carry
-  custom_partitioning rules (ops/ffn.py:_row_sharded,
+  custom_partitioning rules (ops/ffn.py:_tp_row_sharded,
   ops/similarity.py:_qv_sharded), so the sharded train step runs them
   partitioned instead of forcing the XLA path."""
   from mmt_tpu.ops import ffn
@@ -711,6 +711,113 @@ def test_fused_ranking_kernel_partitions_candidate_axis():
   ), got6.sharding
 
 
+def test_ffn_kernel_tensor_parallel_eval():
+  """The fused eval FFN kernel composes with tensor parallelism (round-4
+  VERDICT item 1): with w1/w2 Megatron-sharded on a 4x2 mesh's 'model'
+  axis (parallel/mesh.py:param_shardings layout), the partition rule
+  (ops/ffn.py:_tp_row_sharded) runs the shard-local half kernel and
+  psums the partial — values match the unsharded kernel and the
+  compiled HLO contains NO all-gather (the weights stay sharded)."""
+  from mmt_tpu.ops import ffn
+
+  rng = np.random.RandomState(0)
+  r, h, i = 16, 32, 64
+  x = rng.randn(r, h).astype(np.float32)
+  w1 = (rng.randn(h, i) * 0.05).astype(np.float32)
+  b1 = rng.randn(i).astype(np.float32)
+  w2 = (rng.randn(i, h) * 0.05).astype(np.float32)
+  b2 = rng.randn(h).astype(np.float32)
+  gamma = np.ones(h, np.float32)
+  beta = np.zeros(h, np.float32)
+
+  ffn.use_pallas(True, interpret=True)
+  try:
+    fn = lambda *a: ffn.ffn_block(*a, eps=1e-12, compute_dtype=jnp.float32)
+    want = np.asarray(jax.jit(fn)(x, w1, b1, w2, b2, gamma, beta))
+
+    mesh = mesh_lib.data_mesh(model_parallel=2)   # 4x2 (data, model)
+    row = NamedSharding(mesh, P("data", None))
+    col = NamedSharding(mesh, P(None, "model"))
+    rowp = NamedSharding(mesh, P("model", None))
+    vec = NamedSharding(mesh, P("model"))
+    rep = NamedSharding(mesh, P())
+    args = (jax.device_put(x, row), jax.device_put(w1, col),
+            jax.device_put(b1, vec), jax.device_put(w2, rowp),
+            jax.device_put(b2, rep), jax.device_put(gamma, rep),
+            jax.device_put(beta, rep))
+    got = jax.jit(fn)(*args)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+    assert "data" in tuple(got.sharding.spec), got.sharding
+
+    hlo = jax.jit(fn).lower(*args).compile().as_text()
+    assert "all-gather" not in hlo, "TP FFN must not gather its weights"
+    assert "all-reduce" in hlo, "expected the psum of the partial output"
+  finally:
+    ffn.use_pallas(False)
+
+
+def test_ffn_train_kernel_tensor_parallel_grads():
+  """The fused train-time FFN kernel (fused fwd+bwd, explicit dropout
+  mask) under tensor parallelism: grads of a loss through
+  ffn_block_train with model-sharded weights match jax.grad of the XLA
+  reference, weight grads land on the SAME Megatron sharding as the
+  weights (the optimizer update stays sharded), and the compiled grad
+  program contains no all-gather."""
+  from mmt_tpu.ops import ffn
+
+  rng = np.random.RandomState(1)
+  r, h, i = 16, 32, 64
+  x = rng.randn(r, h).astype(np.float32)
+  keep = (rng.rand(r, h) > 0.1).astype(np.float32) / 0.9
+  w1 = (rng.randn(h, i) * 0.05).astype(np.float32)
+  b1 = rng.randn(i).astype(np.float32)
+  w2 = (rng.randn(i, h) * 0.05).astype(np.float32)
+  b2 = rng.randn(h).astype(np.float32)
+  gamma = np.ones(h, np.float32)
+  beta = np.zeros(h, np.float32)
+
+  ffn.use_pallas(True, interpret=True)
+  try:
+    def loss_fused(x, drop, w1, b1, w2, b2, g, bt):
+      out = ffn.ffn_block_train(x, drop, w1, b1, w2, b2, g, bt,
+                                eps=1e-12, compute_dtype=jnp.float32)
+      return jnp.sum(out ** 2)
+
+    def loss_ref(x, drop, w1, b1, w2, b2, g, bt):
+      out = ffn.xla_ffn_block_train(x, drop, w1, b1, w2, b2, g, bt,
+                                    eps=1e-12, compute_dtype=jnp.float32)
+      return jnp.sum(out ** 2)
+
+    grad_args = (0, 2, 3, 4, 5, 6, 7)
+    want = jax.jit(jax.grad(loss_ref, argnums=grad_args))(
+        x, keep, w1, b1, w2, b2, gamma, beta)
+
+    mesh = mesh_lib.data_mesh(model_parallel=2)
+    row = NamedSharding(mesh, P("data", None))
+    col = NamedSharding(mesh, P(None, "model"))
+    rowp = NamedSharding(mesh, P("model", None))
+    vec = NamedSharding(mesh, P("model"))
+    rep = NamedSharding(mesh, P())
+    args = (jax.device_put(x, row), jax.device_put(keep, row),
+            jax.device_put(w1, col), jax.device_put(b1, vec),
+            jax.device_put(w2, rowp), jax.device_put(b2, rep),
+            jax.device_put(gamma, rep), jax.device_put(beta, rep))
+    grad_fn = jax.jit(jax.grad(loss_fused, argnums=grad_args))
+    got = grad_fn(*args)
+    names = ("dx", "dw1", "db1", "dw2", "db2", "dgamma", "dbeta")
+    for n, a, b in zip(names, got, want):
+      np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                 rtol=2e-4, atol=2e-5, err_msg=n)
+    # Weight grads keep the Megatron layout — no reshard before Adam.
+    assert tuple(got[1].sharding.spec) == (None, "model"), got[1].sharding
+    assert tuple(got[3].sharding.spec)[0] == "model", got[3].sharding
+
+    hlo = grad_fn.lower(*args).compile().as_text()
+    assert "all-gather" not in hlo, "TP train FFN must not gather weights"
+  finally:
+    ffn.use_pallas(False)
+
+
 def test_similarity_kernel_tuple_axis_sharding():
   """_qv_sharded normalizes TUPLE PartitionSpec entries (round-4 VERDICT
   #6, same convention as ops/ranking.py:_cand_sharded):
@@ -890,7 +997,7 @@ def test_tensor_parallel_trainer_e2e(tmp_path_factory):
 
 def test_tensor_parallel_rejects_multiprocess(tiny_arch, monkeypatch):
   """model_parallel > 1 across processes must fail loudly at
-  construction (checkpoint snapshots need addressable arrays)."""
+  construction (per-layer FFN psums would ride DCN)."""
   from mmt_tpu.train.trainer import Trainer
 
   monkeypatch.setattr(jax, "process_count", lambda: 2)

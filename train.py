@@ -149,7 +149,10 @@ def _is_custom_text_geometry(geom):
   return any(stock.get(k) != v for k, v in dict(geom).items())
 
 
-def train(config):
+def build_trainer(config):
+  """Construct the fully-wired Trainer for ``config`` (model, loaders,
+  optimizer incl. freeze mask, pretrained inits) without running it —
+  shared by train() and the perf harnesses (scripts/bench_sustained.py)."""
   import jax
 
   from mmt_tpu.parallel.mesh import maybe_initialize_distributed
@@ -242,7 +245,11 @@ def train(config):
     tx, _ = build_optimizer(config["optimizer"], frozen_mask=mask)
     trainer.tx = tx
     trainer.opt_state = tx.init(trainer.params)
+  return trainer
 
+
+def train(config):
+  trainer = build_trainer(config)
   if not config.only_eval:
     trainer.train()
   trainer.evaluate()
