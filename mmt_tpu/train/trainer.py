@@ -693,8 +693,13 @@ class Trainer:
       self.timer.update("train_batch.total", time.time() - data_start)
 
       if batch_idx % log_step == 0:
-        total_loss += float(np.sum([float(l) for l in pending_losses]))
-        loss_value = float(pending_losses[-1])
+        # One stacked device->host read for the whole window: per-loss
+        # float() reads each pay a dispatch round-trip, which at short
+        # step times dominates the loop (measured: ~4 RTTs/window saved
+        # at b32, scripts/bench_sustained.py).
+        vals = np.asarray(jnp.stack(pending_losses))
+        total_loss += float(vals.sum())
+        loss_value = float(vals[-1])
         pending_losses = []
         bt = self.timer.dic["train_batch.total"]["val"]
         logger.info("Train Epoch: %d [%d/%d] Loss: %.6f batch_time=%.5f",
@@ -703,7 +708,8 @@ class Trainer:
       if batch_idx + 1 >= batches_per_epoch:
         break
 
-    total_loss += float(np.sum([float(l) for l in pending_losses]))
+    if pending_losses:
+      total_loss += float(np.asarray(jnp.stack(pending_losses)).sum())
     return {"loss": total_loss / max(batches_per_epoch, 1),
             "learning_rate": epoch_lr,
             "n_samples": self.n_samples, "n_steps": self.n_steps}
