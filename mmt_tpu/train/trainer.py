@@ -652,9 +652,26 @@ class Trainer:
 
     # Losses stay on device between log points: reading the scalar every
     # step would serialize host and device (the reference pays this with
-    # loss.item() each step, trainer/trainer.py:206).
+    # loss.item() each step, trainer/trainer.py:206).  Window reads are
+    # PIPELINED one window deep: at each log point the stacked window
+    # starts an async device->host copy and the PREVIOUS window (whose
+    # transfer has long since landed) is logged — a blocking read here
+    # would stall step enqueueing for the full transfer latency
+    # (measured 2 RTTs/window over the tunnel = 8.4 ms/step at b32,
+    # scripts/bench_sustained.py).
     pending_losses: List[Any] = []
+    pending_reads: List[Any] = []   # [(batch_idx, stacked window)]
     total_loss = 0.0
+
+    def drain(window):
+      nonlocal total_loss
+      idx, vals = window
+      vals = np.asarray(vals)
+      total_loss += float(vals.sum())
+      bt = self.timer.dic["train_batch.total"]["val"]
+      logger.info("Train Epoch: %d [%d/%d] Loss: %.6f batch_time=%.5f",
+                  epoch, idx + 1, batches_per_epoch, float(vals[-1]), bt)
+
     data_start = time.time()
     batches = iter(loader)
     if self.mesh is None:
@@ -693,23 +710,23 @@ class Trainer:
       self.timer.update("train_batch.total", time.time() - data_start)
 
       if batch_idx % log_step == 0:
-        # One stacked device->host read for the whole window: per-loss
-        # float() reads each pay a dispatch round-trip, which at short
-        # step times dominates the loop (measured: ~4 RTTs/window saved
-        # at b32, scripts/bench_sustained.py).
-        vals = np.asarray(jnp.stack(pending_losses))
-        total_loss += float(vals.sum())
-        loss_value = float(vals[-1])
+        vals = jnp.stack(pending_losses)
         pending_losses = []
-        bt = self.timer.dic["train_batch.total"]["val"]
-        logger.info("Train Epoch: %d [%d/%d] Loss: %.6f batch_time=%.5f",
-                    epoch, batch_idx + 1, batches_per_epoch, loss_value, bt)
+        try:
+          vals.copy_to_host_async()
+        except AttributeError:   # non-PJRT array types (tracers in tests)
+          pass
+        pending_reads.append((batch_idx, vals))
+        while len(pending_reads) > 1:
+          drain(pending_reads.pop(0))
       data_start = time.time()
       if batch_idx + 1 >= batches_per_epoch:
         break
 
     if pending_losses:
-      total_loss += float(np.asarray(jnp.stack(pending_losses)).sum())
+      pending_reads.append((batch_idx, jnp.stack(pending_losses)))
+    for window in pending_reads:
+      drain(window)
     return {"loss": total_loss / max(batches_per_epoch, 1),
             "learning_rate": epoch_lr,
             "n_samples": self.n_samples, "n_steps": self.n_steps}
