@@ -45,6 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from mmt_tpu.ops import sharding as sharding_lib
+
 _USE_PALLAS = bool(int(os.environ.get("MMT_TPU_PALLAS_FFN", "0")))
 _INTERPRET = False  # tests: run the kernel interpreted on CPU
 _TILE_OVERRIDE = int(os.environ.get("MMT_TPU_FFN_TILE", "0"))  # perf sweeps
@@ -191,12 +193,7 @@ def kernel_fits(h, i, compute_dtype, train=False) -> bool:
   return _fit_tile(512, h, i, itemsize, _eval_vmem) is not None
 
 
-def _norm_axis(entry):
-  # A PartitionSpec dim entry is None, an axis name, or a TUPLE of axis
-  # names; normalize to a tuple (ops/ranking.py:_cand_sharded convention).
-  if entry is None:
-    return ()
-  return (entry,) if isinstance(entry, str) else tuple(entry)
+_norm_axis = sharding_lib.norm_spec_entry
 
 
 def _tp_row_sharded(local_fn, rule, arg_codes, out_codes, make_tp_lower):
@@ -252,8 +249,7 @@ def _tp_row_sharded(local_fn, rule, arg_codes, out_codes, make_tp_lower):
   def _dedup(row, mp):
     # One mesh axis cannot shard both the batch rows and the FFN inner
     # dim; conflicting axes leave the model side (weights gather there).
-    if mp and row and set(mp) & set(row):
-      mp = tuple(a for a in mp if a not in set(row))
+    mp = sharding_lib.drop_conflicting_axes(row, mp)
     return (row or None), (mp or None)
 
   def _shardings(mesh, row, mp, codes, shapes):

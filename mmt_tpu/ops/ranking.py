@@ -24,6 +24,8 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from mmt_tpu.ops.sharding import drop_conflicting_axes, norm_spec_entry
+
 MISSING_VAL = 1e8  # model/metric.py:186
 
 
@@ -227,12 +229,7 @@ def _cand_sharded(local_fn):
   """
   cp = custom_partitioning(local_fn)
 
-  def _norm(entry):
-    # A PartitionSpec dim entry is None, an axis name, or a TUPLE of
-    # axis names (multi-axis sharding of one dim); normalize to a tuple.
-    if entry is None:
-      return ()
-    return (entry,) if isinstance(entry, str) else tuple(entry)
+  _norm = norm_spec_entry
 
   def _axes(arg_shapes):
     def row(i):
@@ -240,12 +237,11 @@ def _cand_sharded(local_fn):
       return _norm(spec[0] if len(spec) else None)
     q = next((a for a in (row(0), row(2), row(4), row(5)) if a), ())
     c = next((a for a in (row(1), row(3), row(6)) if a), ())
-    if set(q) & set(c):
-      # One mesh axis can't shard both sides: only the CONFLICTING axes
-      # leave the candidate sharding; a mixed layout like q=('data',),
-      # c=('data','model') keeps candidates sharded over 'model' instead
-      # of gathering the whole corpus per device.
-      c = tuple(a for a in c if a not in set(q))
+    # One mesh axis can't shard both sides: queries win, and only the
+    # CONFLICTING axes leave the candidate sharding — a mixed layout
+    # like q=('data',), c=('data','model') keeps candidates sharded
+    # over 'model' instead of gathering the whole corpus per device.
+    c = drop_conflicting_axes(q, c)
     return q or None, c or None
 
   def infer(mesh, arg_shapes, result_shape):
@@ -261,7 +257,7 @@ def _cand_sharded(local_fn):
     q = _norm(out_spec[0] if len(out_spec) else None) or None
     _, c = _axes(arg_shapes)
     if c is not None:
-      c = tuple(a for a in c if a not in set(q or ())) or None
+      c = drop_conflicting_axes(q or (), c) or None
     args = (NamedSharding(mesh, P(q, None)),
             NamedSharding(mesh, P(c, None)),
             NamedSharding(mesh, P(q, None)),

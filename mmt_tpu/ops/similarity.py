@@ -34,6 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from mmt_tpu.ops.sharding import drop_conflicting_axes, norm_spec_entry
+
 _USE_PALLAS = bool(int(os.environ.get("MMT_TPU_PALLAS_SIMILARITY", "0")))
 _INTERPRET = False  # tests: run the kernel interpreted on CPU
 EPS_ZERO_GUARD = 1e-5  # model/model.py:816
@@ -138,14 +140,7 @@ def _qv_sharded(local_fn):
   gathered (an output cannot shard two dims on one axis)."""
   cp = custom_partitioning(local_fn)
 
-  def _norm(entry):
-    # A PartitionSpec dim entry is None, an axis name, or a TUPLE of
-    # axis names (multi-axis sharding of one dim); normalize to a tuple
-    # so the conflict check below treats P('x') and P(('x', 'y'))
-    # consistently (same convention as ops/ranking.py:_cand_sharded).
-    if entry is None:
-      return ()
-    return (entry,) if isinstance(entry, str) else tuple(entry)
+  _norm = norm_spec_entry
 
   def _axes(arg_shapes):
     def row(i):
@@ -153,13 +148,12 @@ def _qv_sharded(local_fn):
       return _norm(spec[0] if len(spec) else None)
     q = row(0) or row(2)
     v = row(1) or row(3)
-    if set(q) & set(v):
-      # One mesh axis cannot shard both output dims; conflicting axes
-      # leave the video side (that all-gather IS the global-batch
-      # negative semantics on the trainer's data mesh).  Non-conflicting
-      # video axes are kept: q=('data',), v=('data','model') still
-      # shards candidates over 'model'.
-      v = tuple(a for a in v if a not in set(q))
+    # One mesh axis cannot shard both output dims; conflicting axes
+    # leave the video side (that all-gather IS the global-batch
+    # negative semantics on the trainer's data mesh).  Non-conflicting
+    # video axes are kept: q=('data',), v=('data','model') still
+    # shards candidates over 'model'.
+    v = drop_conflicting_axes(q, v)
     return q or None, v or None
 
   def infer(mesh, arg_shapes, result_shape):

@@ -21,6 +21,7 @@ restructured for TPU:
 
 from __future__ import annotations
 
+import itertools
 import json
 import logging
 import math
@@ -660,20 +661,25 @@ class Trainer:
     # (measured 2 RTTs/window over the tunnel = 8.4 ms/step at b32,
     # scripts/bench_sustained.py).
     pending_losses: List[Any] = []
-    pending_reads: List[Any] = []   # [(batch_idx, stacked window)]
+    # [(batch_idx, stacked window, batch_time when the window closed)] —
+    # batch_time is captured at enqueue so the (late) drain logs the
+    # timing that belongs to the window's own step, not a later one.
+    pending_reads: List[Any] = []
     total_loss = 0.0
 
     def drain(window):
       nonlocal total_loss
-      idx, vals = window
+      idx, vals, bt = window
       vals = np.asarray(vals)
       total_loss += float(vals.sum())
-      bt = self.timer.dic["train_batch.total"]["val"]
       logger.info("Train Epoch: %d [%d/%d] Loss: %.6f batch_time=%.5f",
                   epoch, idx + 1, batches_per_epoch, float(vals[-1]), bt)
 
     data_start = time.time()
-    batches = iter(loader)
+    # Cap the source at the epoch's batch budget BEFORE prefetch: the
+    # 2-deep prefetch would otherwise assemble (and H2D-transfer) batches
+    # past the epoch boundary that no step ever consumes.
+    batches = itertools.islice(iter(loader), batches_per_epoch)
     if self.mesh is None:
       batches = loader_lib.device_prefetch(
           (model_batch(b) for b in batches), size=2)
@@ -686,8 +692,8 @@ class Trainer:
           (model_batch(b) for b in batches), size=2,
           put=lambda b: mesh_lib.shard_batch(self.mesh, b))
     for batch_idx, batch in enumerate(batches):
-      if (batch_idx + 1) * batch_size * n_pairs > self.max_samples_per_epoch:
-        break
+      # max_samples_per_epoch is already enforced: batches_per_epoch
+      # capped the islice'd source above (max_batches term).
       self.timer.update("train_batch.data_loading", time.time() - data_start)
       if self.sanity_checks and batch_idx == 0:
         from mmt_tpu.utils.checks import validate_batch
@@ -716,7 +722,8 @@ class Trainer:
           vals.copy_to_host_async()
         except AttributeError:   # non-PJRT array types (tracers in tests)
           pass
-        pending_reads.append((batch_idx, vals))
+        pending_reads.append(
+            (batch_idx, vals, self.timer.dic["train_batch.total"]["val"]))
         while len(pending_reads) > 1:
           drain(pending_reads.pop(0))
       data_start = time.time()
@@ -724,7 +731,8 @@ class Trainer:
         break
 
     if pending_losses:
-      pending_reads.append((batch_idx, jnp.stack(pending_losses)))
+      pending_reads.append((batch_idx, jnp.stack(pending_losses),
+                            self.timer.dic["train_batch.total"]["val"]))
     for window in pending_reads:
       drain(window)
     return {"loss": total_loss / max(batches_per_epoch, 1),
@@ -973,26 +981,30 @@ class Trainer:
     return state
 
   def _save_checkpoint(self, epoch, save_best=False):
-    # One writer per experiment: a shared-FS save from every process
-    # would race on the tmp file and multiply IO for identical bytes
-    # (state is replicated).  Readers sync via mesh_lib.barrier().
-    if not self.is_primary:
-      return
     # Snapshot to host NOW (the next train step donates these buffers);
     # encode+write happen on the writer thread (AsyncCheckpointWriter).
     # Sharded state (e.g. 'model'-axis params under tensor parallelism)
     # is gathered: np.asarray handles every single-process layout (all
     # shards addressable); a cross-process sharding goes through
-    # process_allgather so the snapshot never depends on replication.
+    # process_allgather — a COLLECTIVE, so it must run on EVERY process
+    # (a primary-only gather of genuinely cross-process-sharded state
+    # would deadlock process 0).  All processes therefore walk the tree;
+    # non-primary ones skip the device->host copy of addressable leaves
+    # and discard the result below.
     def _to_host(x):
       if not isinstance(x, jax.Array):
         return x
       if not x.is_fully_addressable:
         from jax.experimental import multihost_utils
         return np.asarray(multihost_utils.process_allgather(x, tiled=True))
-      return np.asarray(x)
+      return np.asarray(x) if self.is_primary else x
 
     host_state = jax.tree_util.tree_map(_to_host, self._state_dict())
+    # One writer per experiment: a shared-FS save from every process
+    # would race on the tmp file and multiply IO for identical bytes
+    # (state is replicated).  Readers sync via mesh_lib.barrier().
+    if not self.is_primary:
+      return
     self._ckpt_writer.save(self.exp_dir, host_state, epoch,
                            save_best=save_best)
 

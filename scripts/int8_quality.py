@@ -87,19 +87,26 @@ def rank_both_paths(vid, vw, txt, tw, topk=10, batch=256):
     return jax.lax.top_k(sims, topk)
 
   @jax.jit
-  def int8_topk(txt_b, tw_b, q8_d, scale_d, vw_d):
+  def int8_topk(txt_b, tw_b, q8_d, scale_d, vw_d, idx_f_b):
     sims = _int8_moe_similarity(txt_b, tw_b, q8_d, scale_d, vw_d)
-    return jax.lax.top_k(sims, topk)
+    scores_q, top_q = jax.lax.top_k(sims, topk)
+    # int8 scores gathered at the fp32 top-k INDICES: the quantization
+    # error of each fp32-top-k video is |fp32 - int8| of the SAME video.
+    # (A positional rank-by-rank diff would compare different videos
+    # wherever the two rankings disagree.)
+    sc_q_at_f = jnp.take_along_axis(sims, idx_f_b, axis=1)
+    return scores_q, top_q, sc_q_at_f
 
   idx_f, idx_q, sc_f, sc_q = [], [], [], []
   for s in range(0, len(txt), batch):
     tb, wb = jnp.asarray(txt[s:s + batch]), jnp.asarray(tw[s:s + batch])
     scores_f, top_f = fp32_topk(tb, wb, dev["vid"], dev["vw"])
-    scores_q, top_q = int8_topk(tb, wb, dev["q8"], dev["scale"], dev["vw"])
+    scores_q, top_q, sc_q_at_f = int8_topk(
+        tb, wb, dev["q8"], dev["scale"], dev["vw"], top_f)
     idx_f.append(np.asarray(top_f))
     idx_q.append(np.asarray(top_q))
     sc_f.append(np.asarray(scores_f))
-    sc_q.append(np.asarray(scores_q))
+    sc_q.append(np.asarray(sc_q_at_f))
   return (np.concatenate(idx_f), np.concatenate(idx_q),
           np.concatenate(sc_f), np.concatenate(sc_q))
 
@@ -116,7 +123,8 @@ def quality_report(vid, vw, txt, tw, gt, topk=10, batch=256):
     rep[f"overlap@{k}"] = float(np.mean([
         len(set(idx_f[q, :k]) & set(idx_q[q, :k])) / k for q in range(nq)]))
   rep["top1_identical"] = float((idx_f[:, 0] == idx_q[:, 0]).mean())
-  # Score MAE over each query's fp32 top-k (the scores a user sees).
+  # Per-item quantization error over each query's fp32 top-k: sc_q holds
+  # the int8 scores of the SAME videos (gathered at idx_f on device).
   rep["score_mae_topk"] = float(np.abs(sc_f - sc_q).mean())
   rep["score_max_err_topk"] = float(np.abs(sc_f - sc_q).max())
   return rep
