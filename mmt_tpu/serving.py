@@ -116,6 +116,49 @@ class RetrievalIndex:
     return cls(vid_embds, vid_weights, video_ids,
                paths or [""] * len(vid_embds))
 
+  def extend(self, other: "RetrievalIndex") -> "RetrievalIndex":
+    """Append another index's videos in place (incremental corpus growth).
+
+    New content is embedded once via :meth:`build` over a loader that
+    serves only the new videos, then appended here — the existing corpus
+    is never re-embedded.  Geometry must match (same modality count and
+    embedding width, i.e. the same model/config produced both) and ids
+    must stay unique; both are validated before anything mutates.
+    Engines serving this index pick the rows up via
+    :meth:`RetrievalEngine.refresh`.
+    """
+    if other.vid_embds.shape[1:] != self.vid_embds.shape[1:]:
+      raise ValueError(
+          f"index geometry mismatch: existing rows are "
+          f"{self.vid_embds.shape[1:]}, new rows are "
+          f"{other.vid_embds.shape[1:]} (different model/config?)")
+    dup = set(self.video_ids) & set(other.video_ids)
+    if dup:
+      raise ValueError(f"duplicate video_ids: {sorted(dup)[:5]}"
+                       f"{'...' if len(dup) > 5 else ''}")
+    self.vid_embds = np.concatenate([self.vid_embds, other.vid_embds], 0)
+    self.vid_weights = np.concatenate(
+        [self.vid_weights, other.vid_weights], 0)
+    self.video_ids = list(self.video_ids) + list(other.video_ids)
+    self.paths = list(self.paths) + list(other.paths)
+    return self
+
+  def remove(self, ids) -> "RetrievalIndex":
+    """Drop videos by id in place.  Unknown ids raise KeyError (a typo'd
+    removal silently leaving stale content in a served index is the
+    failure mode this guards)."""
+    drop = set(ids)
+    unknown = drop - set(self.video_ids)
+    if unknown:
+      raise KeyError(f"video_ids not in index: {sorted(unknown)[:5]}"
+                     f"{'...' if len(unknown) > 5 else ''}")
+    keep = np.array([v not in drop for v in self.video_ids], bool)
+    self.vid_embds = self.vid_embds[keep]
+    self.vid_weights = self.vid_weights[keep]
+    self.video_ids = [v for v, k in zip(self.video_ids, keep) if k]
+    self.paths = [p for p, k in zip(self.paths, keep) if k]
+    return self
+
   def save(self, path) -> None:
     # ids/paths are stored newline-joined; an embedded "\n" would split
     # into phantom entries on load and desynchronize ids from embeddings.
@@ -171,6 +214,36 @@ class RetrievalEngine:
     self.mesh = mesh
     self.quantize = quantize
 
+    # Params live on device once; queries pass them as jit ARGUMENTS.
+    # Closing over the pytree would bake ~132M params into HLO constants
+    # — the exact remote-compile-tunnel failure CLAUDE.md documents (the
+    # trainer threads variables the same way, trainer.py train/embed
+    # steps).  Under a mesh they are explicitly replicated.
+    if mesh is not None:
+      from jax.sharding import NamedSharding, PartitionSpec as P
+      self._dev_variables = jax.device_put(variables,
+                                           NamedSharding(mesh, P()))
+    else:
+      self._dev_variables = jax.device_put(variables)
+
+    self._stage_index(index)
+
+  def refresh(self, index: RetrievalIndex = None) -> None:
+    """Pick up index mutations (RetrievalIndex.extend/remove, or a whole
+    new index) without rebuilding the engine: re-pads, re-quantizes and
+    re-stages the device-side arrays and recreates the query closure
+    (it captures the real-row count).  The model never re-embeds
+    existing videos and the staged params are reused as-is.  A changed
+    corpus size recompiles the next query (new operand shape) — same
+    cost as any new request-shape bucket (~5 s over the tunnel,
+    sub-second locally)."""
+    if index is not None:
+      self.index = index
+    self._stage_index(self.index)
+
+  def _stage_index(self, index: RetrievalIndex) -> None:
+    mesh, quantize = self.mesh, self.quantize
+    model = self.model
     n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
     pad = (-len(index.vid_embds)) % n_shards
     embds, weights = index.vid_embds, index.vid_weights
@@ -205,18 +278,6 @@ class RetrievalEngine:
     if quantize is None:
       # Kept under their historical names for tests/introspection.
       self._dev_embds, self._dev_weights = self._dev_index
-
-    # Params live on device once; queries pass them as jit ARGUMENTS.
-    # Closing over the pytree would bake ~132M params into HLO constants
-    # — the exact remote-compile-tunnel failure CLAUDE.md documents (the
-    # trainer threads variables the same way, trainer.py train/embed
-    # steps).  Under a mesh they are explicitly replicated.
-    if mesh is not None:
-      from jax.sharding import NamedSharding, PartitionSpec as P
-      self._dev_variables = jax.device_put(variables,
-                                           NamedSharding(mesh, P()))
-    else:
-      self._dev_variables = jax.device_put(variables)
 
     n_real = len(index)
     # XLA's einsum beats the Pallas similarity kernel at serving shapes

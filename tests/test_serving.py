@@ -407,3 +407,96 @@ def test_int8_index_retrieval_quality_pinned():
   assert rep["top1_identical"] >= 0.99, rep
   assert rep["overlap@10"] >= 0.95, rep
   assert rep["score_mae_topk"] <= 1e-3, rep
+
+
+def test_index_extend_remove_and_engine_refresh(served):
+  """Incremental corpus updates: RetrievalIndex.extend/remove mutate the
+  corpus without re-embedding existing videos, and
+  RetrievalEngine.refresh() re-stages the device index (re-pad,
+  re-quantize) so a LIVE engine serves the updated corpus — results
+  match an engine built fresh over the same content.  (Beyond-reference
+  serving scope; the reference has no serving story.)"""
+  from mmt_tpu.serving import RetrievalEngine, RetrievalIndex
+  root, cfg_path, trainer = served
+
+  entry = trainer.data_loaders["final_eval_sets"][0]
+  variables = {"params": trainer.params, "batch_stats": trainer.batch_stats}
+  full = RetrievalIndex.build(trainer.model, variables, entry["loader"],
+                              dataset=entry["dataset"].datasets[0])
+  assert len(full) == 6
+
+  def subindex(idx, ids):
+    keep = [i for i, v in enumerate(idx.video_ids) if v in set(ids)]
+    return RetrievalIndex(idx.vid_embds[keep].copy(),
+                          idx.vid_weights[keep].copy(),
+                          [idx.video_ids[i] for i in keep],
+                          [idx.paths[i] for i in keep])
+
+  old_ids, new_ids = full.video_ids[:4], full.video_ids[4:]
+  grown = subindex(full, old_ids)
+  engine = RetrievalEngine(trainer.model, variables, trainer.tokenizer,
+                           grown, max_text_words=12)
+  queries = ["a video of cooking", "a video of soccer", "a video of rain"]
+  before = engine.search(queries, topk=3)
+  for hits in before:
+    assert all(h["video_id"] in old_ids for h in hits)
+
+  # Grow: embed ONLY the new videos (a subindex standing in for a
+  # build() over a new-content loader), extend, refresh the live engine.
+  grown.extend(subindex(full, new_ids))
+  assert len(grown) == 6
+  engine.refresh()
+  fresh = RetrievalEngine(trainer.model, variables, trainer.tokenizer,
+                          grown, max_text_words=12)
+  assert engine.search(queries, topk=4) == fresh.search(queries, topk=4)
+  # Content equality with the one-shot build (same rows, same order).
+  np.testing.assert_array_equal(grown.vid_embds, full.vid_embds)
+  assert grown.video_ids == full.video_ids
+
+  # Shrink: removed videos disappear; survivors keep their exact scores.
+  engine.refresh(grown.remove(new_ids))   # refresh(index=) path
+  after = engine.search(queries, topk=6)
+  for b_hits, a_hits in zip(before, after):
+    assert len(a_hits) == 4   # topk capped at the shrunken corpus
+    assert all(h["video_id"] in old_ids for h in a_hits)
+    assert [h["video_id"] for h in b_hits] == [h["video_id"]
+                                               for h in a_hits[:3]]
+    np.testing.assert_allclose([h["score"] for h in b_hits],
+                               [h["score"] for h in a_hits[:3]])
+
+  # int8 engines re-quantize the grown rows on refresh.
+  q8_live = RetrievalEngine(trainer.model, variables, trainer.tokenizer,
+                            grown, max_text_words=12, quantize="int8")
+  grown.extend(subindex(full, new_ids))
+  q8_live.refresh()
+  q8_fresh = RetrievalEngine(trainer.model, variables, trainer.tokenizer,
+                             grown, max_text_words=12, quantize="int8")
+  assert (q8_live.search(queries, topk=4)
+          == q8_fresh.search(queries, topk=4))
+
+  # Validation: duplicate ids, geometry mismatch, unknown removals all
+  # refuse before mutating.
+  with pytest.raises(ValueError, match="duplicate"):
+    grown.extend(subindex(full, old_ids[:1]))
+  bad_geom = RetrievalIndex(np.zeros((1, 3, 7), np.float32),
+                            np.zeros((1, 3), np.float32), ["zz"], ["zz"])
+  with pytest.raises(ValueError, match="geometry"):
+    grown.extend(bad_geom)
+  with pytest.raises(KeyError):
+    grown.remove(["not-there"])
+  assert len(grown) == 6   # failed ops left the index untouched
+
+  # Under a mesh, refresh recomputes the shard padding (4 videos pad 4
+  # rows on 8 devices; 6 videos pad 2) and re-scatters the index.
+  from mmt_tpu.parallel import mesh as mesh_lib
+  sharded = RetrievalEngine(trainer.model, variables, trainer.tokenizer,
+                            subindex(grown, old_ids), max_text_words=12,
+                            mesh=mesh_lib.data_mesh())
+  sharded.refresh(grown)
+  want = fresh.search(queries, topk=4)
+  got = sharded.search(queries, topk=4)
+  for w_hits, g_hits in zip(want, got):
+    assert [h["video_id"] for h in w_hits] == [h["video_id"] for h in g_hits]
+    np.testing.assert_allclose([h["score"] for h in w_hits],
+                               [h["score"] for h in g_hits], rtol=1e-4,
+                               atol=1e-5)
