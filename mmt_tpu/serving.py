@@ -178,8 +178,18 @@ class RetrievalIndex:
   @classmethod
   def load(cls, path) -> "RetrievalIndex":
     raw = serialization.msgpack_restore(pathlib.Path(path).read_bytes())
-    return cls(np.asarray(raw["vid_embds"]), np.asarray(raw["vid_weights"]),
-               raw["video_ids"].split("\n"), raw["paths"].split("\n"))
+    vid_embds = np.asarray(raw["vid_embds"])
+    # "".split("\n") == [""], so an EMPTIED index (remove() can legally
+    # drain it) would round-trip into one phantom "" id desynchronized
+    # from the 0 embedding rows; condition the parse on the row count.
+    n = len(vid_embds)
+    video_ids = raw["video_ids"].split("\n") if n else []
+    paths = raw["paths"].split("\n") if n else []
+    if len(video_ids) != n or len(paths) != n:
+      raise ValueError(
+          f"corrupt index at {path}: {n} embedding rows but "
+          f"{len(video_ids)} video_ids / {len(paths)} paths")
+    return cls(vid_embds, np.asarray(raw["vid_weights"]), video_ids, paths)
 
   def __len__(self):
     return len(self.vid_embds)
@@ -226,6 +236,13 @@ class RetrievalEngine:
     else:
       self._dev_variables = jax.device_put(variables)
 
+    # search() and refresh() serialize on this lock, and search maps
+    # top-k rows through the id/path SNAPSHOT taken when the device
+    # arrays were staged — never through the live (mutable) index.  A
+    # handler thread mid-search therefore always sees one consistent
+    # (device arrays, ids) pair, even while another thread mutates the
+    # index in place (extend/remove) and calls refresh().
+    self._lock = threading.RLock()
     self._stage_index(index)
 
   def refresh(self, index: RetrievalIndex = None) -> None:
@@ -237,13 +254,20 @@ class RetrievalEngine:
     corpus size recompiles the next query (new operand shape) — same
     cost as any new request-shape bucket (~5 s over the tunnel,
     sub-second locally)."""
-    if index is not None:
-      self.index = index
-    self._stage_index(self.index)
+    with self._lock:
+      if index is not None:
+        self.index = index
+      self._stage_index(self.index)
 
   def _stage_index(self, index: RetrievalIndex) -> None:
     mesh, quantize = self.mesh, self.quantize
     model = self.model
+    # Consistent-snapshot contract: these tuples are what search() maps
+    # top-k indices through, frozen together with the staged device
+    # arrays (the live index.video_ids list may mutate between a
+    # remove() and the refresh() that re-stages).
+    self._staged_ids = tuple(index.video_ids)
+    self._staged_paths = tuple(index.paths)
     n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
     pad = (-len(index.vid_embds)) % n_shards
     embds, weights = index.vid_embds, index.vid_weights
@@ -329,11 +353,22 @@ class RetrievalEngine:
       rows.append(crop_or_pad_tokens(ids, self.max_text_words))
     return np.stack(rows, 0)[:, None].astype(np.int32)   # [B, 1, T, 2]
 
+  @property
+  def num_videos(self) -> int:
+    """Size of the corpus actually being served (the staged snapshot —
+    the live index may differ between a mutation and refresh())."""
+    return len(self._staged_ids)
+
   def search(self, texts: Sequence[str], topk: int = 5) -> List[List[Dict]]:
-    if int(topk) <= 0 or len(self.index) == 0:
+    with self._lock:
+      return self._search_locked(texts, topk)
+
+  def _search_locked(self, texts: Sequence[str], topk: int) -> List[List[Dict]]:
+    n_staged = len(self._staged_ids)
+    if int(topk) <= 0 or n_staged == 0:
       return [[] for _ in texts]   # "no results" probe, not "at least one"
     token_ids = self.encode_queries(texts)
-    k_req = min(int(topk), len(self.index))
+    k_req = min(int(topk), n_staged)
     # Bucket the compiled shapes: batch rows pad up to the next power of
     # two (pad queries are all-zero token rows — fully masked attention
     # is uniform, not NaN — and their results are sliced away), k rounds
@@ -343,7 +378,7 @@ class RetrievalEngine:
       token_ids = np.concatenate(
           [token_ids, np.zeros((b_pad,) + token_ids.shape[1:],
                                token_ids.dtype)], 0)
-    k_jit = min(_next_pow2(k_req), len(self.index))
+    k_jit = min(_next_pow2(k_req), n_staged)
     scores, idx = self._query_fn(self._dev_variables, token_ids,
                                  *self._dev_index, k=k_jit)
     scores, idx = np.asarray(scores), np.asarray(idx)
@@ -352,8 +387,8 @@ class RetrievalEngine:
       hits = []
       for rank in range(min(k_req, idx.shape[1])):
         v = int(idx[q, rank])
-        hits.append({"video_id": self.index.video_ids[v],
-                     "path": self.index.paths[v],
+        hits.append({"video_id": self._staged_ids[v],
+                     "path": self._staged_paths[v],
                      "score": float(scores[q, rank]),
                      "rank": rank})
       results.append(hits)
@@ -400,7 +435,7 @@ class _RetrievalHandler(http.server.BaseHTTPRequestHandler):
       return
     # topk <= 0 means "no results" (engine contract, search() above) —
     # the clamp only caps at the index size, it must not floor at 1.
-    topk = max(0, min(int(topk), len(self.engine.index)))
+    topk = max(0, min(int(topk), self.engine.num_videos))
     with self.lock:
       results = self.engine.search(queries, topk=topk)
     self._reply(200, {"results": results})
@@ -408,7 +443,7 @@ class _RetrievalHandler(http.server.BaseHTTPRequestHandler):
   def do_GET(self):  # noqa: N802 (stdlib API name)
     url = urllib.parse.urlparse(self.path)
     if url.path == "/healthz":
-      self._reply(200, {"ok": True, "videos": len(self.engine.index)})
+      self._reply(200, {"ok": True, "videos": self.engine.num_videos})
       return
     if url.path == "/search":
       qs = urllib.parse.parse_qs(url.query)

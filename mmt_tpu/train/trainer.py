@@ -727,8 +727,8 @@ class Trainer:
         while len(pending_reads) > 1:
           drain(pending_reads.pop(0))
       data_start = time.time()
-      if batch_idx + 1 >= batches_per_epoch:
-        break
+      # No in-loop boundary check: the islice cap above is the epoch
+      # boundary's single enforcement point.
 
     if pending_losses:
       pending_reads.append((batch_idx, jnp.stack(pending_losses),

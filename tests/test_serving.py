@@ -500,3 +500,104 @@ def test_index_extend_remove_and_engine_refresh(served):
     np.testing.assert_allclose([h["score"] for h in w_hits],
                                [h["score"] for h in g_hits], rtol=1e-4,
                                atol=1e-5)
+
+
+def test_emptied_index_roundtrip_and_regrow(served, tmp_path):
+  """remove() can legally drain an index; save/load of the EMPTY index
+  must not invent a phantom "" video_id ("".split("\\n") == [""]), which
+  would permanently desynchronize ids from embedding rows on the next
+  extend()."""
+  from mmt_tpu.serving import RetrievalEngine, RetrievalIndex
+  root, cfg_path, trainer = served
+
+  entry = trainer.data_loaders["final_eval_sets"][0]
+  variables = {"params": trainer.params, "batch_stats": trainer.batch_stats}
+  full = RetrievalIndex.build(trainer.model, variables, entry["loader"],
+                              dataset=entry["dataset"].datasets[0])
+  drained = RetrievalIndex(full.vid_embds.copy(), full.vid_weights.copy(),
+                           list(full.video_ids), list(full.paths))
+  drained.remove(list(drained.video_ids))
+  assert len(drained) == 0 and drained.video_ids == []
+
+  path = tmp_path / "empty.msgpack"
+  drained.save(path)
+  reloaded = RetrievalIndex.load(path)
+  assert len(reloaded) == 0
+  assert reloaded.video_ids == [] and reloaded.paths == []
+
+  # An engine over the empty index answers "no results", not an error.
+  engine = RetrievalEngine(trainer.model, variables, trainer.tokenizer,
+                           reloaded, max_text_words=12)
+  assert engine.search(["anything"], topk=3) == [[]]
+
+  # Regrow from empty: ids map 1:1 to rows (no phantom "" offset).
+  reloaded.extend(full)
+  assert reloaded.video_ids == full.video_ids
+  engine.refresh()
+  fresh = RetrievalEngine(trainer.model, variables, trainer.tokenizer,
+                          full, max_text_words=12)
+  assert engine.search(["a video of cooking"], topk=3) == \
+      fresh.search(["a video of cooking"], topk=3)
+
+
+def test_search_consistent_across_inplace_mutation(served):
+  """Between an in-place index mutation (remove/extend) and refresh(),
+  search() keeps serving the STAGED snapshot — device arrays and the
+  id/path mapping stay a consistent pair (never old top-k indices mapped
+  through a shrunken live id list -> IndexError / wrong video)."""
+  import threading
+
+  from mmt_tpu.serving import RetrievalEngine, RetrievalIndex
+  root, cfg_path, trainer = served
+
+  entry = trainer.data_loaders["final_eval_sets"][0]
+  variables = {"params": trainer.params, "batch_stats": trainer.batch_stats}
+  full = RetrievalIndex.build(trainer.model, variables, entry["loader"],
+                              dataset=entry["dataset"].datasets[0])
+  idx = RetrievalIndex(full.vid_embds.copy(), full.vid_weights.copy(),
+                       list(full.video_ids), list(full.paths))
+  engine = RetrievalEngine(trainer.model, variables, trainer.tokenizer,
+                           idx, max_text_words=12)
+  queries = ["a video of cooking", "a video of soccer"]
+  before = engine.search(queries, topk=len(full))
+  assert engine.num_videos == len(full)
+
+  # Mutate the live index WITHOUT refresh: the engine must keep serving
+  # the old snapshot (all 6 ids still reachable, correct mapping).
+  idx.remove(full.video_ids[1:])          # live index shrinks to 1 row
+  stale = engine.search(queries, topk=len(full))
+  assert stale == before                  # consistent pre-mutation view
+  assert engine.num_videos == len(full)   # staged count, not live count
+
+  engine.refresh()                        # now pick up the shrink
+  assert engine.num_videos == 1
+  after = engine.search(queries, topk=len(full))
+  assert all(len(hits) == 1 and hits[0]["video_id"] == full.video_ids[0]
+             for hits in after)
+
+  # Concurrency smoke: searches race refresh() across grow/shrink cycles;
+  # every result must map to ids from SOME consistent snapshot.
+  def subindex(i):
+    keep = [0, 1, 2] if i % 2 == 0 else [0, 1, 2, 3, 4, 5]
+    return RetrievalIndex(full.vid_embds[keep].copy(),
+                          full.vid_weights[keep].copy(),
+                          [full.video_ids[k] for k in keep],
+                          [full.paths[k] for k in keep])
+
+  valid_ids = set(full.video_ids)
+  errors = []
+
+  def reader():
+    try:
+      for _ in range(12):
+        for hits in engine.search(queries, topk=6):
+          assert all(h["video_id"] in valid_ids for h in hits)
+    except Exception as exc:  # pragma: no cover - failure path
+      errors.append(exc)
+
+  t = threading.Thread(target=reader)
+  t.start()
+  for i in range(8):
+    engine.refresh(subindex(i))
+  t.join()
+  assert not errors
