@@ -18,6 +18,7 @@ import json
 import logging
 import pathlib
 import threading
+import time
 import urllib.parse
 from typing import Dict, List, Sequence
 
@@ -410,9 +411,56 @@ class RetrievalEngine:
 # ---------------------------------------------------------------------------
 
 
+class _ServerStats:
+  """Per-server request counters + a bounded search-latency reservoir.
+
+  Feeds the /statz endpoint: operational visibility (p50/p90/p99 search
+  latency as measured AT the server, incl. device dispatch; error/request
+  counts) without any dependency beyond the stdlib.  The reservoir keeps
+  the most recent ``maxlen`` samples — long-lived servers report current
+  behavior, not a lifetime average.
+  """
+
+  def __init__(self, maxlen: int = 4096):
+    import collections
+    self._lock = threading.Lock()
+    self._lat = collections.deque(maxlen=maxlen)
+    self.requests = 0
+    self.errors = 0
+    self.queries = 0
+    self.started = time.time()
+
+  def record(self, latency_s: float, n_queries: int) -> None:
+    with self._lock:
+      self._lat.append(latency_s)
+      self.requests += 1
+      self.queries += n_queries
+
+  def record_error(self) -> None:
+    with self._lock:
+      self.errors += 1
+
+  def snapshot(self) -> Dict:
+    with self._lock:
+      lat = sorted(self._lat)
+      out = {"requests": self.requests, "errors": self.errors,
+             "queries": self.queries,
+             "uptime_s": round(time.time() - self.started, 1)}
+    if lat:
+      def pct(p):
+        return round(1e3 * lat[min(len(lat) - 1,
+                                   int(p / 100 * len(lat)))], 2)
+      out["search_latency_ms"] = {
+          "count": len(lat), "mean": round(1e3 * sum(lat) / len(lat), 2),
+          "p50": pct(50), "p90": pct(90), "p99": pct(99),
+          "max": round(1e3 * lat[-1], 2)}
+    return out
+
+
 class _RetrievalHandler(http.server.BaseHTTPRequestHandler):
   engine: "RetrievalEngine" = None  # type: ignore[assignment]
   lock: threading.Lock = None       # type: ignore[assignment]
+  stats: _ServerStats = None        # type: ignore[assignment]
   max_queries = 256
 
   def _reply(self, code: int, payload: Dict) -> None:
@@ -436,14 +484,26 @@ class _RetrievalHandler(http.server.BaseHTTPRequestHandler):
     # topk <= 0 means "no results" (engine contract, search() above) —
     # the clamp only caps at the index size, it must not floor at 1.
     topk = max(0, min(int(topk), self.engine.num_videos))
-    with self.lock:
-      results = self.engine.search(queries, topk=topk)
+    t0 = time.perf_counter()
+    try:
+      with self.lock:
+        results = self.engine.search(queries, topk=topk)
+    except Exception:
+      if self.stats is not None:
+        self.stats.record_error()
+      raise
+    if self.stats is not None:
+      self.stats.record(time.perf_counter() - t0, len(queries))
     self._reply(200, {"results": results})
 
   def do_GET(self):  # noqa: N802 (stdlib API name)
     url = urllib.parse.urlparse(self.path)
     if url.path == "/healthz":
       self._reply(200, {"ok": True, "videos": self.engine.num_videos})
+      return
+    if url.path == "/statz":
+      stats = self.stats.snapshot() if self.stats is not None else {}
+      self._reply(200, {"videos": self.engine.num_videos, **stats})
       return
     if url.path == "/search":
       qs = urllib.parse.parse_qs(url.query)
@@ -485,8 +545,10 @@ def serve_http(engine: RetrievalEngine, host: str = "127.0.0.1",
   the bound port is ``server.server_address[1]`` (pass ``port=0`` for an
   ephemeral one)."""
   handler = type("BoundHandler", (_RetrievalHandler,),
-                 {"engine": engine, "lock": threading.Lock()})
+                 {"engine": engine, "lock": threading.Lock(),
+                  "stats": _ServerStats()})
   server = http.server.ThreadingHTTPServer((host, port), handler)
+  server.stats = handler.stats  # introspection (scripts, tests)
   logger.info("serving retrieval API on http://%s:%d (index: %d videos)",
               server.server_address[0], server.server_address[1],
               len(engine.index))
@@ -494,10 +556,26 @@ def serve_http(engine: RetrievalEngine, host: str = "127.0.0.1",
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server
+  # Graceful SIGTERM (the preemption signal on managed fleets): finish
+  # in-flight requests, then return.  shutdown() must run off the
+  # serve_forever thread, hence the helper thread.
+  import signal
+
+  def _sigterm(signum, frame):
+    logger.info("SIGTERM: shutting down retrieval API")
+    threading.Thread(target=server.shutdown, daemon=True).start()
+
+  prev = None
+  try:
+    prev = signal.signal(signal.SIGTERM, _sigterm)
+  except ValueError:
+    pass  # not on the main thread; rely on KeyboardInterrupt/.shutdown()
   try:
     server.serve_forever()
   except KeyboardInterrupt:
     pass
   finally:
+    if prev is not None:
+      signal.signal(signal.SIGTERM, prev)
     server.server_close()
   return server

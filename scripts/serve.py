@@ -113,6 +113,8 @@ def main(argv=None):
   parser.add_argument("--host", default="127.0.0.1",
                       help="bind address for --listen (default loopback)")
   args = parser.parse_args(argv)
+  if not (args.index or args.build_index):
+    parser.error("one of --index or --build_index is required")
   logging.basicConfig(level=logging.INFO, format="%(message)s")
 
   from mmt_tpu.serving import RetrievalEngine, RetrievalIndex
@@ -127,7 +129,7 @@ def main(argv=None):
                                  else entry["dataset"])
     index.save(args.build_index)
     logger.info("indexed %d videos -> %s", len(index), args.build_index)
-    if not args.query:
+    if not args.query and args.listen is None:
       return
 
   index = RetrievalIndex.load(args.index or args.build_index)

@@ -601,3 +601,53 @@ def test_search_consistent_across_inplace_mutation(served):
     engine.refresh(subindex(i))
   t.join()
   assert not errors
+
+
+def test_statz_endpoint(served):
+  """/statz reports request/query counters and a search-latency
+  histogram measured at the server (p50/p90/p99), for operational
+  visibility of a live daemon."""
+  import json as json_lib
+  import urllib.request
+
+  from mmt_tpu.serving import RetrievalEngine, RetrievalIndex, serve_http
+  root, cfg_path, trainer = served
+
+  entry = trainer.data_loaders["final_eval_sets"][0]
+  variables = {"params": trainer.params, "batch_stats": trainer.batch_stats}
+  idx = RetrievalIndex.build(trainer.model, variables, entry["loader"],
+                             dataset=entry["dataset"].datasets[0])
+  engine = RetrievalEngine(trainer.model, variables, trainer.tokenizer, idx,
+                           max_text_words=12)
+  server = serve_http(engine, host="127.0.0.1", port=0, block=False)
+  try:
+    port = server.server_address[1]
+
+    def get(path):
+      with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+        return json_lib.loads(r.read())
+
+    empty = get("/statz")
+    assert empty["videos"] == len(idx)
+    assert empty["requests"] == 0 and "search_latency_ms" not in empty
+
+    for _ in range(3):
+      get("/search?q=a+person+cooking&q=a+soccer+match&topk=2")
+    stats = get("/statz")
+    assert stats["requests"] == 3 and stats["queries"] == 6
+    assert stats["errors"] == 0
+    lat = stats["search_latency_ms"]
+    assert lat["count"] == 3
+    assert 0 < lat["p50"] <= lat["p99"] <= lat["max"]
+    assert lat["mean"] > 0 and stats["uptime_s"] >= 0
+
+    # Validation 400s are not engine errors and don't pollute latency.
+    import urllib.error
+    try:
+      get("/search?topk=2")
+    except urllib.error.HTTPError as e:
+      assert e.code == 400
+    stats2 = get("/statz")
+    assert stats2["requests"] == 3 and stats2["errors"] == 0
+  finally:
+    server.shutdown()
