@@ -382,6 +382,17 @@ class RetrievalEngine:
     k_jit = min(_next_pow2(k_req), n_staged)
     scores, idx = self._query_fn(self._dev_variables, token_ids,
                                  *self._dev_index, k=k_jit)
+    # Start BOTH device->host copies before the first blocking read:
+    # sequential np.asarray reads cost one full dispatch round trip EACH
+    # (measured through the HTTP server at [1 x 100k]: p50 54 ms -> 30 ms
+    # over the tunnel, scripts/bench_serving.py / docs/SERVING.md) —
+    # the same one-deep transfer pipelining the trainer's loss-window
+    # reads use.
+    for arr in (scores, idx):
+      try:
+        arr.copy_to_host_async()
+      except AttributeError:  # non-PJRT array types (CPU tests)
+        pass
     scores, idx = np.asarray(scores), np.asarray(idx)
     results = []
     for q in range(len(texts)):
